@@ -1,0 +1,202 @@
+"""Pseudo-label (seed) samplers, fully batched and jittable.
+
+Parity targets:
+- TCAMSeeder (/root/reference/dlib/cams/tcam_seeding.py:53-260 with
+  _OneSample/_SFG/_SBG :430-592): per sample, foreground seeds are drawn
+  without replacement from the top max_p-fraction of CAM pixels (optionally
+  restricted to an eroded ROI), uniformly or CAM-weighted; background seeds
+  from the bottom min_p-fraction uniformly; both dilated by ksz; fg/bg
+  collisions cleared; output {1: fg, 0: bg, ignore elsewhere}; degenerate
+  CAMs (min == max) produce all-ignore.
+- MBSeederSLFCAMS (/root/reference/dlib/cams/fcam_seeding.py:224-390 with
+  _STFG/_STBG :30-80): fg sampled uniformly from an Otsu+erode ROI of the
+  CAM, bg from the bottom min_p fraction.
+
+TPU-native: the reference loops per sample and calls torch.multinomial;
+here sampling-without-replacement is the Gumbel top-k trick (add Gumbel
+noise to log-weights, keep the k largest), so one vmapped program seeds the
+whole batch.  Selection among "top-n" pixels with a data-dependent n stays
+shape-static by comparing sort ranks against the traced n.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tcam_wsol_video_tpu.core import constants
+from tcam_wsol_video_tpu.ops import morphology
+from tcam_wsol_video_tpu.ops.otsu import otsu_threshold_255
+
+Array = jax.Array
+
+
+def _ranks_desc(v: Array) -> Array:
+    """rank[i] = position of element i in a stable descending sort."""
+    order = jnp.argsort(-v, stable=True)
+    ranks = jnp.zeros_like(order)
+    return ranks.at[order].set(jnp.arange(v.shape[0]))
+
+
+def _ranks_asc(v: Array) -> Array:
+    order = jnp.argsort(v, stable=True)
+    ranks = jnp.zeros_like(order)
+    return ranks.at[order].set(jnp.arange(v.shape[0]))
+
+
+def _gumbel_topk_mask(key: jax.Array, logw: Array, eligible: Array,
+                      k: Array) -> Array:
+    """Select min(k, #eligible) elements w/o replacement with probabilities
+    proportional to exp(logw), among `eligible`.  Returns a 0/1 mask."""
+    g = jax.random.gumbel(key, logw.shape, dtype=jnp.float32)
+    keys_ = jnp.where(eligible, logw + g, -jnp.inf)
+    sel_rank = _ranks_desc(keys_)
+    n_elig = jnp.sum(eligible)
+    kk = jnp.minimum(k, n_elig)
+    return ((sel_rank < kk) & eligible).astype(jnp.int32)
+
+
+@dataclass(frozen=True)
+class TCAMSeederCfg:
+    seed_tech: str = constants.SEED_UNIFORM
+    min_: int = 10           # bg samples
+    max_: int = 10           # fg samples
+    min_p: float = 0.2       # bottom fraction eligible for bg
+    max_p: float = 0.2       # top fraction eligible for fg
+    fg_erode_k: int = 11
+    fg_erode_iter: int = 0
+    ksz: int = 1             # seed dilation kernel
+    seg_ignore_idx: int = constants.SEG_IGNORE_IDX
+    use_roi: bool = False
+
+
+def _seed_one(key: jax.Array, cam: Array, roi: Optional[Array],
+              cfg: TCAMSeederCfg, seed_tech: str) -> Array:
+    h, w = cam.shape
+    p = h * w
+    flat = cam.reshape(p)
+    kf, kb = jax.random.split(key)
+
+    degenerate = jnp.min(flat) == jnp.max(flat)
+
+    # ---- foreground: top max_p fraction of (roi-masked) cam
+    if cfg.use_roi and roi is not None:
+        roi_f = roi.astype(jnp.float32)
+        if cfg.fg_erode_iter > 0:
+            roi_f = morphology.erode(roi_f, cfg.fg_erode_k,
+                                     cfg.fg_erode_iter)
+        n_roi = jnp.sum(roi_f)
+        cam_fg = (cam * roi_f + 1e-8).reshape(p)
+        n_fg = jnp.floor(cfg.max_p * n_roi).astype(jnp.int32)
+    else:
+        cam_fg = (cam + 1e-8).reshape(p)
+        n_fg = jnp.int32(int(cfg.max_p * p))
+
+    fg_rank = _ranks_desc(cam_fg)
+    fg_elig = fg_rank < n_fg
+    if seed_tech == constants.SEED_UNIFORM:
+        logw_fg = jnp.zeros_like(cam_fg)
+    else:  # SEED_WEIGHTED: probs proportional to cam values (_SFG :517-520)
+        logw_fg = jnp.log(jnp.maximum(cam_fg, 1e-20))
+    fg = _gumbel_topk_mask(kf, logw_fg, fg_elig, jnp.int32(cfg.max_))
+    fg = jnp.where(cfg.max_ > 0, fg, 0)
+
+    # ---- background: bottom min_p fraction of the full cam, uniform
+    cam_bg = (cam + 1e-8).reshape(p)
+    n_bg = jnp.int32(int(cfg.min_p * p))
+    bg_rank = _ranks_asc(cam_bg)
+    bg_elig = bg_rank < n_bg
+    bg = _gumbel_topk_mask(kb, jnp.zeros_like(cam_bg), bg_elig,
+                           jnp.int32(cfg.min_))
+    bg = jnp.where(cfg.min_ > 0, bg, 0)
+
+    fg = fg.reshape(h, w)
+    bg = bg.reshape(h, w)
+    # degenerate cams seed nothing (reference _OneSample :469-470)
+    fg = jnp.where(degenerate, 0, fg)
+    bg = jnp.where(degenerate, 0, bg)
+
+    # dilate seeds
+    fg = morphology.dilate(fg, cfg.ksz)
+    bg = morphology.dilate(bg, cfg.ksz)
+
+    # clear collisions (reference TCAMSeeder :246-249)
+    both = (fg + bg) == 2
+    fg = jnp.where(both, 0, fg)
+    bg = jnp.where(both, 0, bg)
+
+    out = jnp.full((h, w), cfg.seg_ignore_idx, jnp.int32)
+    out = jnp.where(fg == 1, 1, out)
+    out = jnp.where(bg == 1, 0, out)
+    return out
+
+
+def tcam_seeder(key: jax.Array, cams: Array, cfg: TCAMSeederCfg,
+                roi: Optional[Array] = None,
+                seed_tech: Optional[str] = None) -> Array:
+    """Batched TCAM seeding.  cams: (B, H, W) in [0, 1]; roi: (B, H, W)
+    binary or None.  Returns (B, H, W) int32 in {1, 0, ignore}."""
+    b = cams.shape[0]
+    keys = jax.random.split(key, b)
+    st = seed_tech or cfg.seed_tech
+    if roi is None:
+        return jax.vmap(lambda k, c: _seed_one(k, c, None, cfg, st))(
+            keys, cams)
+    return jax.vmap(lambda k, c, r: _seed_one(k, c, r, cfg, st))(
+        keys, cams, roi)
+
+
+@dataclass(frozen=True)
+class FCAMSeederCfg:
+    min_: int = 10
+    max_: int = 10
+    min_p: float = 0.2
+    fg_erode_k: int = 11
+    fg_erode_iter: int = 1
+    ksz: int = 1
+    seg_ignore_idx: int = constants.SEG_IGNORE_IDX
+
+
+def _fcam_seed_one(key: jax.Array, cam: Array, cfg: FCAMSeederCfg) -> Array:
+    """One-sample FCAM seeding: Otsu ROI (+erosion) -> uniform fg samples;
+    bottom-min_p -> uniform bg samples (reference _STOneSample path,
+    fcam_seeding.py:83-130ish)."""
+    h, w = cam.shape
+    p = h * w
+    kf, kb = jax.random.split(key)
+
+    th = otsu_threshold_255(jnp.floor(cam * 255.0))
+    roi = (jnp.floor(cam * 255.0) >= th).astype(jnp.float32)
+    if cfg.fg_erode_iter > 0:
+        roi = morphology.erode(roi, cfg.fg_erode_k, cfg.fg_erode_iter)
+
+    fg_elig = roi.reshape(p) > 0
+    fg = _gumbel_topk_mask(kf, jnp.zeros((p,), jnp.float32), fg_elig,
+                           jnp.int32(cfg.max_))
+    fg = jnp.where(cfg.max_ > 0, fg, 0)
+
+    n_bg = jnp.int32(int(cfg.min_p * p))
+    bg_rank = _ranks_asc(cam.reshape(p))
+    bg_elig = bg_rank < n_bg
+    bg = _gumbel_topk_mask(kb, jnp.zeros((p,), jnp.float32), bg_elig,
+                           jnp.int32(cfg.min_))
+    bg = jnp.where(cfg.min_ > 0, bg, 0)
+
+    fg = morphology.dilate(fg.reshape(h, w), cfg.ksz)
+    bg = morphology.dilate(bg.reshape(h, w), cfg.ksz)
+    both = (fg + bg) == 2
+    fg = jnp.where(both, 0, fg)
+    bg = jnp.where(both, 0, bg)
+
+    out = jnp.full((h, w), cfg.seg_ignore_idx, jnp.int32)
+    out = jnp.where(fg == 1, 1, out)
+    out = jnp.where(bg == 1, 0, out)
+    return out
+
+
+def fcam_seeder(key: jax.Array, cams: Array, cfg: FCAMSeederCfg) -> Array:
+    """Batched FCAM (MBSeederSLFCAMS) seeding.  cams: (B, H, W)."""
+    keys = jax.random.split(key, cams.shape[0])
+    return jax.vmap(lambda k, c: _fcam_seed_one(k, c, cfg))(keys, cams)

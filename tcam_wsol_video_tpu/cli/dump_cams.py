@@ -1,0 +1,120 @@
+"""Dump per-frame stage-1 classifier CAMs + Otsu ROI thresholds.
+
+Parity target: CAMComputer._build_store_std_cam_low
+(/root/reference/dlib/learning/inference_wsol.py:1073-1132) — which has no
+call site in the reference (the stage-1 -> TCAM handoff is manual,
+README.md:267-271).  Here it is a first-class CLI: run the trained STD_CL
+classifier over every frame of the train split and write low-resolution
+CAMs (.npy) plus a roi_thresholds.txt into a CamStore consumed by TCAM
+training (--std_cams_folder).
+
+Usage:
+    python -m tcam_wsol_video_tpu.cli.dump_cams --dataset ... \
+        --task STD_CL --exp_dir exps/<tag>/<id> --out data_cams/<tag>
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcam_wsol_video_tpu.core import checkpoint as ckpt
+from tcam_wsol_video_tpu.core import constants
+from tcam_wsol_video_tpu.core.hparams import parse_args
+from tcam_wsol_video_tpu.core.logger import init_logger, log
+from tcam_wsol_video_tpu.core.prng import KeyChain
+from tcam_wsol_video_tpu.data.cam_store import CamStore
+from tcam_wsol_video_tpu.data.dataset import WSOLVideoDataset
+from tcam_wsol_video_tpu.data.folds import load_split_metadata
+from tcam_wsol_video_tpu.data.transforms import PairedTransform
+from tcam_wsol_video_tpu.engine.steps import make_classifier_cam_fn
+from tcam_wsol_video_tpu.metrics.otsu_np import otsu_np
+from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
+                                                init_model)
+
+
+def dump_cams(args, exp_dir: str, out_dir: str, cam_size: int = 28,
+              batch_size: int = 32) -> CamStore:
+    kc = KeyChain(args.seed)
+    meta_root = args.metadata_root
+    data_root = os.path.join(args.data_root, args.dataset)
+    md = load_split_metadata(meta_root, constants.TRAINSET)
+    ds = WSOLVideoDataset(
+        md, data_root, constants.TRAINSET, args.dataset,
+        PairedTransform(args.resize_size, args.crop_size, train=False),
+        kc, crop_size=args.crop_size)
+
+    model = create_model_from_args(args, task=constants.STD_CL,
+                                   override_arch_for_classifier=True)
+    variables = jax.device_get(init_model(model, kc.key("init"),
+                                          (1, args.crop_size,
+                                           args.crop_size, 3)))
+    chpt_dir = os.path.join(exp_dir, args.eval_checkpoint_type)
+    step, payload = ckpt.load_best_model(chpt_dir)
+    assert payload is not None, f"no best model under {chpt_dir}"
+    variables = ckpt.merge_components_into_variables(
+        variables, payload["components"])
+    log(f"dumping train CAMs from {chpt_dir} (step {step}) -> {out_dir}")
+
+    cam_fn = make_classifier_cam_fn(model, args)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+
+    store = CamStore(out_dir)
+    thresholds = {}
+
+    # enumerate every frame of every shot (train ids are shots)
+    all_frames = []
+    for sid in md.image_ids:
+        frames = ds.index_of_frames.get(sid, [sid])
+        all_frames.extend((f, md.labels[sid]) for f in frames)
+
+    from PIL import Image
+    from tcam_wsol_video_tpu.data.transforms import normalize_imagenet
+
+    for i in range(0, len(all_frames), batch_size):
+        chunk = all_frames[i:i + batch_size]
+        imgs, labels = [], []
+        for fid, lab in chunk:
+            img = Image.open(os.path.join(data_root, fid)).convert("RGB")
+            img = img.resize((args.crop_size, args.crop_size),
+                             Image.BILINEAR)
+            arr = np.asarray(img, np.float32) / 255.0
+            imgs.append(normalize_imagenet(arr))
+            labels.append(lab)
+        n = len(chunk)
+        if n < batch_size:  # static shapes: tile-pad the tail
+            imgs += [imgs[-1]] * (batch_size - n)
+            labels += [labels[-1]] * (batch_size - n)
+        cams = cam_fn(params, bstats, jnp.asarray(np.stack(imgs)),
+                      jnp.asarray(np.asarray(labels)))
+        # store at low resolution (the reference stores encoder-resolution
+        # maps and lets the dataset resize, wsol_loader.py:505-516)
+        from tcam_wsol_video_tpu.ops.interpolate import resize_hw
+        cams_lo = np.asarray(resize_hw(cams, (cam_size, cam_size)))
+        cams_lo = np.clip(cams_lo, 0.0, 1.0)
+        for j, (fid, _) in enumerate(chunk):
+            store.save_cam(fid, cams_lo[j])
+            thresholds[fid] = otsu_np(np.floor(cams_lo[j] * 255.0))
+
+    store.save_thresholds(thresholds)
+    log(f"wrote {len(thresholds)} cams")
+    return store
+
+
+def main(argv=None):
+    boot = argparse.ArgumentParser(add_help=False)
+    boot.add_argument("--exp_dir", type=str, required=True)
+    boot.add_argument("--out", type=str, required=True)
+    boot.add_argument("--cam_size", type=int, default=28)
+    ns, rest = boot.parse_known_args(argv)
+    args = parse_args(rest)
+    init_logger(ns.exp_dir, is_master=True)
+    return dump_cams(args, ns.exp_dir, ns.out, cam_size=ns.cam_size)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Standalone evaluation entry point — working, unlike the reference's.
+
+The reference ships eval.py but it is broken (imports a non-existent
+`get_evaluer`, and parse_input(eval=True) raises NotImplementedError —
+/root/reference/eval.py:17,42, /root/reference/dlib/process/
+parseit.py:1217-1219).  This is the capability it intended: point at an
+experiment directory, pick a checkpoint criterion, evaluate any split.
+
+Usage:
+    python -m tcam_wsol_video_tpu.cli.evaluate --dataset ... --task TCAM \
+        --arch UnetTCAM --exp_dir exps/<tag>/<exp_id> \
+        --eval_checkpoint_type best_localization --split test
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from tcam_wsol_video_tpu.core import constants
+from tcam_wsol_video_tpu.core import checkpoint as ckpt
+from tcam_wsol_video_tpu.core.hparams import parse_args
+from tcam_wsol_video_tpu.core.logger import init_logger, log
+from tcam_wsol_video_tpu.core.prng import KeyChain
+from tcam_wsol_video_tpu.data.dataset import WSOLVideoDataset
+from tcam_wsol_video_tpu.data.folds import load_split_metadata
+from tcam_wsol_video_tpu.data.pipeline import DataPipeline
+from tcam_wsol_video_tpu.data.transforms import PairedTransform
+from tcam_wsol_video_tpu.engine.evaluator import CamEvaluator
+from tcam_wsol_video_tpu.models.factory import create_model_from_args
+
+
+def main(argv=None) -> Dict[str, float]:
+    boot = argparse.ArgumentParser(add_help=False)
+    boot.add_argument("--exp_dir", type=str, required=True)
+    boot.add_argument("--split", type=str, default=constants.TESTSET)
+    ns, rest = boot.parse_known_args(argv)
+
+    args = parse_args(rest)
+    init_logger(ns.exp_dir, is_master=True)
+
+    kc = KeyChain(args.seed)
+    meta_root = args.metadata_root
+    data_root = os.path.join(args.data_root, args.dataset)
+    md = load_split_metadata(meta_root, ns.split)
+    ds = WSOLVideoDataset(
+        md, data_root, ns.split, args.dataset,
+        PairedTransform(args.resize_size, args.crop_size, train=False),
+        kc, crop_size=args.crop_size)
+    pipe = DataPipeline(ds, args.eval_batch_size, kc, shuffle=False,
+                        num_workers=args.num_workers)
+
+    # resolve the checkpoint BEFORE the (slow) model init so a wrong
+    # --exp_dir fails in milliseconds, not after a full XLA compile
+    chpt_dir = os.path.join(ns.exp_dir, args.eval_checkpoint_type)
+    step, payload = ckpt.load_best_model(chpt_dir)
+    assert payload is not None, f"no best model under {chpt_dir}"
+
+    model = create_model_from_args(args)
+    c = args.crop_size
+    from tcam_wsol_video_tpu.models.factory import init_model
+    variables = jax.device_get(init_model(model, kc.key("init"),
+                                          (1, c, c, 3)))
+    variables = ckpt.merge_components_into_variables(
+        variables, payload["components"])
+    log(f"evaluating {args.eval_checkpoint_type} (step {step}) "
+        f"on {ns.split}")
+
+    ev = CamEvaluator(model, args, ds, pipe, ns.split,
+                      fast=False, on_device=args.on_device_eval)
+    res = ev.run(variables, kc.key("eval", ns.split))
+    res.pop("curves", None)
+    printable = {k: v for k, v in res.items()
+                 if isinstance(v, (int, float, list))}
+    log(printable)
+    print(json.dumps(printable))
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Training entry point.
+
+Parity target: /root/reference/main.py:33-167 — parse flags, build
+model/optimizer/losses, restore checkpoints, load the frozen pretrained
+classifier for TCAM/F_CL, loop epochs with validation + model selection,
+final test evaluation at best-loc and best-cl checkpoints.
+
+Usage:
+    python main.py --dataset YouTube-Objects-v1.0 --task STD_CL ...
+    python main.py --task TCAM --arch UnetTCAM --sl_tc true \
+        --folder_pre_trained_cl <stage1-exp-dir> ...
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+
+from tcam_wsol_video_tpu.core import constants
+from tcam_wsol_video_tpu.core import checkpoint as ckpt
+from tcam_wsol_video_tpu.core.hparams import HParams, dump_config, parse_args
+from tcam_wsol_video_tpu.core.logger import init_logger, log
+from tcam_wsol_video_tpu.core.prng import KeyChain
+from tcam_wsol_video_tpu.data.cam_store import CamStore
+from tcam_wsol_video_tpu.data.dataset import WSOLVideoDataset
+from tcam_wsol_video_tpu.data.folds import load_split_metadata
+from tcam_wsol_video_tpu.data.pipeline import DataPipeline
+from tcam_wsol_video_tpu.data.transforms import PairedTransform
+from tcam_wsol_video_tpu.engine.trainer import Trainer
+from tcam_wsol_video_tpu.models.factory import create_model_from_args
+from tcam_wsol_video_tpu.parallel import mesh as pmesh
+
+
+def build_data(args: HParams, kc: KeyChain):
+    meta_root = args.metadata_root
+    data_root = os.path.join(args.data_root, args.dataset)
+    if not os.path.isdir(meta_root):
+        cand = os.path.join(args.data_root, meta_root, args.dataset)
+        if os.path.isdir(cand):
+            meta_root = cand
+    cam_store = CamStore(args.std_cams_folder) if args.std_cams_folder \
+        else None
+
+    train_md = load_split_metadata(meta_root, constants.TRAINSET)
+    train_ds = WSOLVideoDataset(
+        train_md, data_root, constants.TRAINSET, args.dataset,
+        PairedTransform(args.resize_size, args.crop_size, train=True),
+        kc, crop_size=args.crop_size, cam_store=cam_store,
+        knn_tc=args.knn_tc, sl_tc_knn=args.sl_tc_knn,
+        sl_tc_knn_mode=args.sl_tc_knn_mode, use_roi=args.sl_tc_use_roi,
+        roi_method=args.sl_tc_roi_method,
+        p_min_area_roi=args.sl_tc_roi_min_size)
+    train_pipe = DataPipeline(train_ds, args.batch_size, kc, shuffle=True,
+                              num_workers=args.num_workers,
+                              num_shards=jax.process_count(),
+                              shard_index=jax.process_index())
+
+    eval_pipes = {}
+    for split in (constants.VALIDSET, constants.TESTSET):
+        md = load_split_metadata(meta_root, split)
+        ds = WSOLVideoDataset(
+            md, data_root, split, args.dataset,
+            PairedTransform(args.resize_size, args.crop_size, train=False),
+            kc, crop_size=args.crop_size)
+        pipe = DataPipeline(ds, args.eval_batch_size, kc, shuffle=False,
+                            num_workers=args.num_workers)
+        eval_pipes[split] = (ds, pipe)
+    return train_pipe, eval_pipes
+
+
+def load_pretrained_classifier_weights(args: HParams, variables: dict
+                                       ) -> dict:
+    """Initialize encoder (+cls head) from the stage-1 best checkpoint
+    (reference instantiators.py:575-640: folder_pre_trained_cl)."""
+    folder = args.folder_pre_trained_cl
+    if not folder:
+        return variables
+    chpt_dir = os.path.join(folder, args.tcam_pretrained_cl_ch_pt)
+    if not os.path.isdir(chpt_dir):
+        chpt_dir = folder
+    step, payload = ckpt.load_best_model(chpt_dir)
+    assert payload is not None, f"no best model under {chpt_dir}"
+    comps = payload["components"]
+    only = [c for c in ("encoder", "classification_head") if c in comps]
+    log(f"loading pretrained classifier from {chpt_dir} (step {step}): "
+        f"{only}")
+    return ckpt.merge_components_into_variables(variables, comps, only=only)
+
+
+def main(argv=None) -> Dict:
+    args = parse_args(argv)
+    pmesh.maybe_init_distributed()
+    outd = os.path.join(args.outd, args.tag, args.exp_id)
+    os.makedirs(outd, exist_ok=True)
+    init_logger(outd, is_master=jax.process_index() == 0)
+    dump_config(args, os.path.join(outd, "config.yml"))
+    log(f"experiment {args.tag} digest {args.digest}")
+
+    kc = KeyChain(args.seed)
+    train_pipe, eval_pipes = build_data(args, kc)
+
+    model = create_model_from_args(args)
+    c = args.crop_size
+    from tcam_wsol_video_tpu.models.factory import init_model
+    variables = jax.device_get(init_model(model, kc.key("init"),
+                                          (1, c, c, 3)))
+    variables = load_pretrained_classifier_weights(args, variables)
+
+    trainer = Trainer(args, model, train_pipe, eval_pipes, keychain=kc,
+                      init_variables=variables)
+    results = trainer.fit()
+    log({"final": {k: {m: v for m, v in r.items()
+                       if isinstance(v, (int, float))}
+                   for k, r in results.items()}})
+    return results
+
+
+if __name__ == "__main__":
+    main()

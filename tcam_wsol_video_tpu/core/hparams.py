@@ -1,0 +1,379 @@
+"""Config system: per-dataset defaults + CLI overrides -> frozen HParams.
+
+Capability parity with the reference's three-tier flag system
+(/root/reference/dlib/configure/config.py:78-569 defaults,
+/root/reference/dlib/process/parseit.py:82-938 argparse overrides,
+Dict2Obj freeze).  Re-designed: one flat default dict per dataset, a typed
+attribute-access container, YAML round-trip, and derived-field resolution
+(output dir tag, fast-eval interval, TCAM batch split) done in
+`finalize()` instead of scattered asserts.
+"""
+from __future__ import annotations
+
+import argparse
+import copy
+import hashlib
+import os
+from typing import Any, Dict, Optional
+
+import yaml
+
+from tcam_wsol_video_tpu.core import constants
+
+
+class HParams:
+    """Attribute-access view over a flat config dict (reference Dict2Obj,
+    /root/reference/dlib/process/parseit.py)."""
+
+    def __init__(self, d: Dict[str, Any]):
+        object.__setattr__(self, "_d", dict(d))
+
+    def __getattr__(self, k):
+        try:
+            return self._d[k]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self._d[k] = v
+
+    def __contains__(self, k):
+        return k in self._d
+
+    def get(self, k, default=None):
+        return self._d.get(k, default)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return copy.deepcopy(self._d)
+
+    def replace(self, **kw) -> "HParams":
+        d = self.to_dict()
+        d.update(kw)
+        return HParams(d)
+
+    def __repr__(self):
+        return f"HParams({self._d!r})"
+
+
+def get_root_datasets_dir() -> str:
+    """Dataset root resolution via env var (reference config.py:33-69 uses
+    host-specific roots; we standardize on one env var with a sane default).
+    """
+    return os.environ.get("TCAM_TPU_DATA_ROOT", os.path.expanduser("~/datasets"))
+
+
+def get_config(dataset: str) -> Dict[str, Any]:
+    """Every hyperparameter with its default, keyed identically to the
+    reference where a counterpart exists (config.py:78-569), so recipes
+    written for the reference translate 1:1."""
+    assert dataset in constants.DATASETS, dataset
+
+    num_classes = constants.NUMBER_CLASSES[dataset]
+
+    cfg: Dict[str, Any] = {
+        # ----------------------------------------------------- experiment
+        "dataset": dataset,
+        "num_classes": num_classes,
+        "crop_size": constants.CROP_SIZE,
+        "resize_size": constants.RESIZE_SIZE,
+        "batch_size": 32,
+        "eval_batch_size": 64,
+        "max_epochs": 150,
+        "seed": 0,
+        "exp_id": "exp",
+        "outd": "exps",                 # experiments output root
+        "data_root": get_root_datasets_dir(),
+        "metadata_root": constants.RELATIVE_META_ROOT,
+        "std_cams_folder": "",          # stage-1 CAM store (TCAM input)
+        "num_workers": 4,
+        "checkpoint_save": 100,         # steps between rolling checkpoints
+        "keep_last_n_checkpoints": 1,
+        "save_dir_models": "",
+
+        # ----------------------------------------------------------- eval
+        "cam_curve_interval": 0.001,    # test sweep (config.py:145)
+        "multi_contour_eval": True,     # box_v2 protocol
+        "multi_iou_eval": True,
+        "iou_threshold_list": [30, 50, 70],
+        "box_v2_metric": True,
+        "eval_checkpoint_type": constants.BEST_LOC,
+        "fast_eval": True,              # coarser tau sweep on val
+        "on_device_eval": False,        # covering-box fast path (not the
+                                        # contour protocol; diagnostics only)
+
+        # ---------------------------------------------------------- model
+        "task": constants.STD_CL,
+        "arch": constants.STDCLASSIFIER,
+        "encoder_name": constants.RESNET50,
+        "encoder_weights": "imagenet",
+        "in_channels": 3,
+        "scale_in": 1.0,
+        "freeze_cl": False,
+        "folder_pre_trained_cl": "",
+        "path_pre_trained": "",
+        "strict": True,
+        "support_background": False,
+        "method": constants.METHOD_CAM,
+        "spatial_pooling": constants.WGAP,
+        "seg_mode": constants.BINARY_MODE,
+        "multi_label_flag": False,
+        "img_range": 1.0,
+        "im_rec": False,
+        "im_rec_lambda": 1.0,
+        "im_rec_elb": False,
+
+        # dtype policy: params fp32; compute bf16 on TPU by default.
+        "compute_dtype": "bfloat16",
+        "eval_compute_dtype": "float32",
+
+        # pooling-head hyperparameters
+        "lse_r": 10.0,
+        "wc_modalities": 5,
+        "wc_kmax": 0.5,
+        "wc_kmin": None,
+        "wc_alpha": 0.6,
+        "wc_dropout": 0.0,
+
+        # ------------------------------------------------------ optimizer
+        "opt_name": "sgd",
+        "lr": 0.001,
+        "momentum": 0.9,
+        "dampening": 0.0,
+        "weight_decay": 1e-4,
+        "nesterov": True,
+        "lr_scheduler": "mystep",
+        "step_size": 5,
+        "gamma": 0.1,
+        "min_lr": 1e-7,
+        "t_max": 50,                    # cosine
+        "lr_classifier_ratio": 10.0,    # per-group LR on the cls head
+
+        # ------------------------------------------------------------ ELB
+        "elb_init_t": 1.0,
+        "elb_max_t": 10.0,
+        "elb_mulcoef": 1.01,
+
+        # ----------------------------------------------------------- FCAM
+        "sl_fc": False,
+        "sl_fc_lambda": 1.0,
+        "sl_start_ep": 0,
+        "sl_end_ep": -1,
+        "sl_min": 10,
+        "sl_max": 10,
+        "sl_block": 1,
+        "sl_ksz": 1,
+        "sl_min_p": 0.2,
+        "sl_fg_erode_k": 11,
+        "sl_fg_erode_iter": 1,
+        "crf_fc": False,
+        "crf_lambda": 2e-9,
+        "crf_sigma_rgb": 15.0,
+        "crf_sigma_xy": 100.0,
+        "crf_scale": 1.0,
+        "crf_start_ep": 0,
+        "crf_end_ep": -1,
+        "entropy_fc": False,
+        "entropy_fc_lambda": 1.0,
+        "max_sizepos_fc": False,
+        "max_sizepos_fc_lambda": 1.0,
+        "max_sizepos_fc_start_ep": 0,
+        "max_sizepos_fc_end_ep": -1,
+
+        # ----------------------------------------------------------- TCAM
+        "tcam_pretrained_cl_ch_pt": constants.BEST_CL,
+        "tcam_pretrained_seeder_ch_pt": constants.BEST_LOC,
+        "knn_tc": 0,
+        "sl_tc": False,
+        "sl_tc_knn": 0,
+        "sl_tc_knn_mode": constants.TIME_INSTANT,
+        "sl_tc_knn_t": 0.0,
+        "sl_tc_knn_epoch_switch_uniform": -1,
+        "sl_tc_min_t": 0.0,
+        "sl_tc_epoch_switch_to_sl": -1,
+        "sl_tc_roi_method": constants.ROI_ALL,
+        "sl_tc_roi_min_size": 0.05,
+        "sl_tc_lambda": 1.0,
+        "sl_tc_start_ep": 0,
+        "sl_tc_end_ep": -1,
+        "sl_tc_min": 10,
+        "sl_tc_max": 10,
+        "sl_tc_block": 1,
+        "sl_tc_ksz": 1,
+        "sl_tc_min_p": 0.2,
+        "sl_tc_max_p": 0.2,
+        "sl_tc_use_roi": False,
+        "sl_tc_seed_tech": constants.SEED_UNIFORM,
+        "sl_tc_fg_erode_k": 11,
+        "sl_tc_fg_erode_iter": 0,
+        "crf_tc": False,
+        "crf_tc_lambda": 2e-9,
+        "crf_tc_sigma_rgb": 15.0,
+        "crf_tc_sigma_xy": 100.0,
+        "crf_tc_scale": 1.0,
+        "crf_tc_start_ep": 0,
+        "crf_tc_end_ep": -1,
+        "rgb_jcrf_tc": False,
+        "rgb_jcrf_tc_lambda": 2e-9,
+        "rgb_jcrf_tc_sigma_rgb": 15.0,
+        "rgb_jcrf_tc_scale": 1.0,
+        "rgb_jcrf_tc_start_ep": 0,
+        "rgb_jcrf_tc_end_ep": -1,
+        "max_sizepos_tc": False,
+        "max_sizepos_tc_lambda": 1.0,
+        "max_sizepos_tc_start_ep": 0,
+        "max_sizepos_tc_end_ep": -1,
+        "size_bg_g_fg_tc": False,
+        "size_bg_g_fg_tc_lambda": 1.0,
+        "size_bg_g_fg_tc_start_ep": 0,
+        "size_bg_g_fg_tc_end_ep": -1,
+        "empty_out_bb_tc": False,
+        "empty_out_bb_tc_lambda": 1.0,
+        "empty_out_bb_tc_start_ep": 0,
+        "empty_out_bb_tc_end_ep": -1,
+        "sizefg_tmp_tc": False,
+        "sizefg_tmp_tc_knn": 0,
+        "sizefg_tmp_tc_knn_mode": constants.TIME_INSTANT,
+        "sizefg_tmp_tc_eps": 0.001,
+        "sizefg_tmp_tc_lambda": 1.0,
+        "sizefg_tmp_tc_start_ep": 0,
+        "sizefg_tmp_tc_end_ep": -1,
+        "seg_ignore_idx": constants.SEG_IGNORE_IDX,
+
+        # ---------------------------------------------------------- C_BOX
+        "cb_area_box": False,
+        "cb_area_box_lambda": 1.0,
+        "cb_cl_scoring": False,
+        "cb_cl_scoring_lambda": 1.0,
+        "cb_seed": False,
+        "cb_seed_lambda": 1.0,
+        "cb_box_bounds": False,
+        "cb_box_bounds_lambda": 1.0,
+        "cb_scale_domain": 1.0,
+        "freeze_encoder": False,
+
+        # --------------------------------------------------- parallelism
+        # TPU-native: an explicit device mesh replaces DDP
+        # (/root/reference/dlib/parallel/my_ddp.py). dp shards the batch;
+        # mp is reserved for model-parallel annotations.
+        "mesh_dp": -1,                  # -1: all visible devices
+        "mesh_mp": 1,
+        "use_shard_map": False,
+
+        # ---------------------------------------------------------- misc
+        "log_every": 10,
+        "plot_progress": False,
+        "demo_video": False,
+    }
+    return cfg
+
+
+_BOOL_TRUE = {"1", "true", "yes", "y", "t"}
+
+
+def _coerce(v_default: Any, s: str) -> Any:
+    """Coerce CLI string to the default's type."""
+    if isinstance(v_default, bool):
+        return s.lower() in _BOOL_TRUE
+    if isinstance(v_default, int) and not isinstance(v_default, bool):
+        return int(s)
+    if isinstance(v_default, float):
+        return float(s)
+    if isinstance(v_default, list):
+        return yaml.safe_load(s)
+    if v_default is None:
+        try:
+            return yaml.safe_load(s)
+        except Exception:
+            return s
+    return s
+
+
+def parse_args(argv=None, defaults: Optional[Dict[str, Any]] = None) -> HParams:
+    """CLI override layer: --dataset picks the default dict, every other key
+    in it becomes a flag (reference get_args, parseit.py:82-938)."""
+    boot = argparse.ArgumentParser(add_help=False)
+    boot.add_argument("--dataset", type=str, default=constants.YTOV1)
+    boot.add_argument("--config", type=str, default="",
+                      help="optional yaml file applied before CLI flags")
+    ns, rest = boot.parse_known_args(argv)
+
+    cfg = defaults or get_config(ns.dataset)
+    cfg["dataset"] = ns.dataset
+    if ns.config:
+        with open(ns.config) as f:
+            file_cfg = yaml.safe_load(f) or {}
+        for k, v in file_cfg.items():
+            cfg[k] = v
+
+    parser = argparse.ArgumentParser(
+        description="TPU-native TCAM WSOL-video framework")
+    for k, v in sorted(cfg.items()):
+        if k == "dataset":
+            continue
+        parser.add_argument(f"--{k}", type=str, default=None)
+    ns2 = parser.parse_args(rest)
+    for k, v in vars(ns2).items():
+        if v is not None:
+            cfg[k] = _coerce(cfg[k], v)
+
+    return finalize(HParams(cfg))
+
+
+def experiment_tag(args: HParams, checkpoint_type: Optional[str] = None) -> str:
+    """Canonical experiment/pretrained folder tag (reference get_tag,
+    /root/reference/dlib/utils/tools.py:256-268)."""
+    chpt = checkpoint_type or args.eval_checkpoint_type
+    return (f"{args.dataset}-{args.encoder_name}-{args.method}-"
+            f"{args.spatial_pooling}-cp_{chpt}-boxv2_{args.box_v2_metric}")
+
+
+def config_digest(args: HParams) -> str:
+    blob = yaml.safe_dump(args.to_dict(), sort_keys=True).encode()
+    return hashlib.sha1(blob).hexdigest()[:10]
+
+
+def finalize(args: HParams) -> HParams:
+    """Resolve derived fields + cross-flag sanity checks
+    (reference parseit.py:639-937)."""
+    assert args.task in constants.TASKS, args.task
+    assert args.dataset in constants.DATASETS
+    assert args.spatial_pooling in constants.SPATIAL_POOLINGS
+    assert args.method in constants.CAM_METHODS
+    assert args.sl_tc_seed_tech in constants.SEED_TECHS
+    assert args.sl_tc_roi_method in constants.ROI_SELECT
+    assert args.sl_tc_knn_mode in constants.TIME_DEPENDENCY
+
+    if args.task == constants.STD_CL:
+        assert args.arch == constants.STDCLASSIFIER
+    if args.task == constants.TCAM:
+        assert args.arch == constants.UNETTCAM
+        assert args.dataset in constants.VIDEO_DATASETS
+    if args.task == constants.F_CL:
+        assert args.arch == constants.UNETFCAM
+    if args.task == constants.C_BOX:
+        assert args.arch == constants.DENSEBOXNET
+
+    # pooling must match the CAM method (reference METHOD_2_POOLINGHEAD)
+    want_pool = constants.METHOD_2_POOLINGHEAD[args.method]
+    if args.task == constants.STD_CL:
+        assert args.spatial_pooling == want_pool, (
+            f"method {args.method} requires pooling {want_pool}")
+
+    # TCAM clip sampling divides the effective per-step new-frame budget:
+    # batch of B shots expands to B*(2k+1) frames (reference
+    # parseit.py:641-645)
+    if args.task == constants.TCAM and args.knn_tc > 0:
+        args.batch_size = max(1, args.batch_size // (2 * args.knn_tc + 1))
+
+    if args.sl_tc_knn_mode == constants.TIME_INSTANT:
+        assert args.sl_tc_knn == 0
+
+    args.std_cl_method_requires_grad = constants.METHOD_REQU_GRAD[args.method]
+    args.tag = experiment_tag(args)
+    args.digest = config_digest(args)
+    return args
+
+
+def dump_config(args: HParams, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(args.to_dict(), f, sort_keys=True)

@@ -1,0 +1,88 @@
+"""Metadata folds reader (wsol-done-right text formats).
+
+Parity target: the metadata loaders in
+/root/reference/dlib/datasets/wsol_loader.py:64-181 — per split, four
+files: image_ids.txt (one relative path per line), class_labels.txt
+(`id,label`), image_sizes.txt (`id,w,h`), localization.txt
+(`id,x0,y0,x1,y1` one line per box; empty for weakly-labeled train) plus
+class_id.yaml at the dataset root.  File formats are kept byte-compatible
+so the reference's folds zip works unchanged.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import yaml
+
+
+@dataclass
+class SplitMetadata:
+    split: str
+    image_ids: List[str]
+    labels: Dict[str, int]
+    sizes: Dict[str, Tuple[int, int]] = field(default_factory=dict)
+    boxes: Dict[str, List[Tuple[float, float, float, float]]] = \
+        field(default_factory=dict)
+    mask_paths: Dict[str, List[str]] = field(default_factory=dict)
+
+    def __len__(self):
+        return len(self.image_ids)
+
+
+def _read_lines(path: str) -> List[str]:
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def load_split_metadata(metadata_root: str, split: str,
+                        image_ids: Optional[List[str]] = None
+                        ) -> SplitMetadata:
+    root = os.path.join(metadata_root, split)
+    ids = image_ids or _read_lines(os.path.join(root, "image_ids.txt"))
+
+    labels: Dict[str, int] = {}
+    for ln in _read_lines(os.path.join(root, "class_labels.txt")):
+        iid, lab = ln.rsplit(",", 1)
+        labels[iid] = int(lab)
+
+    md = SplitMetadata(split=split, image_ids=ids, labels=labels)
+
+    sizes_path = os.path.join(root, "image_sizes.txt")
+    if os.path.isfile(sizes_path):
+        for ln in _read_lines(sizes_path):
+            parts = ln.split(",")
+            iid, w, h = ",".join(parts[:-2]), parts[-2], parts[-1]
+            md.sizes[iid] = (int(float(w)), int(float(h)))
+
+    loc_path = os.path.join(root, "localization.txt")
+    if os.path.isfile(loc_path):
+        for ln in _read_lines(loc_path):
+            parts = ln.split(",")
+            if len(parts) >= 5 and not parts[-1].endswith((".png", ".jpg")):
+                iid = ",".join(parts[:-4])
+                box = tuple(float(v) for v in parts[-4:])
+                md.boxes.setdefault(iid, []).append(box)  # type: ignore
+            elif len(parts) == 2:  # OpenImages: id, mask path
+                md.mask_paths.setdefault(parts[0], []).append(parts[1])
+    return md
+
+
+def load_class_ids(metadata_root: str) -> Dict[str, int]:
+    path = os.path.join(metadata_root, "class_id.yaml")
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def resized_gt_boxes(md: SplitMetadata, image_id: str,
+                     crop_size: int) -> np.ndarray:
+    """GT boxes scaled from the original image size to crop_size
+    (reference BoxEvaluator._load_resized_boxes,
+    wsol_metrics.py:287-293)."""
+    from tcam_wsol_video_tpu.ops.boxes import resize_bbox
+    w, h = md.sizes[image_id]
+    out = [resize_bbox(b, (w, h), (crop_size, crop_size))
+           for b in md.boxes.get(image_id, [])]
+    return np.asarray(out, np.float32).reshape(-1, 4)

@@ -1,0 +1,148 @@
+"""Host -> device pipeline: threaded loading, static batching, sharding.
+
+Replaces the reference's DataLoader + DistributedSampler + partial-batch
+tiling (/root/reference/dlib/datasets/wsol_loader.py:988-1034,
+/root/reference/dlib/learning/train_wsol.py:1006-1041 _fill_minibatch):
+
+- a thread pool decodes/augments samples (python-free XLA device stays
+  busy; JPEG decode is the host bottleneck);
+- last partial batch is padded by tiling so every step has a static shape
+  (jit never recompiles);
+- `shard`: per-host slice of each batch for data parallelism — the mesh
+  equivalent of DistributedSampler(shuffle) with identical per-epoch
+  permutations derived from the KeyChain;
+- double-buffered device prefetch via jax.device_put while the current
+  step runs.
+"""
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import itertools
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from tcam_wsol_video_tpu.core.prng import KeyChain
+from tcam_wsol_video_tpu.data.dataset import WSOLVideoDataset
+
+_STACK_KEYS = ("image", "label", "raw_img", "std_cam", "has_cam",
+               "seq_iter", "frm_iter", "roi", "msk_bbox")
+
+
+def collate(items: List[dict]) -> Dict[str, np.ndarray]:
+    """Stack sample dicts; clips arrive pre-flattened clip-major."""
+    batch: Dict[str, np.ndarray] = {}
+    for k in _STACK_KEYS:
+        batch[k] = np.stack([it[k] for it in items])
+    batch["image_id"] = [it["image_id"] for it in items]  # host-only
+    return batch
+
+
+def pad_batch_by_tiling(batch: Dict[str, np.ndarray], target: int,
+                        clip_len: int = 1) -> Dict[str, np.ndarray]:
+    """Fill a short batch by repeating whole clips (reference
+    _fill_minibatch tiles sample indices, train_wsol.py:1006-1041) and
+    record validity so metrics ignore the padding."""
+    n = batch["label"].shape[0]
+    assert n % clip_len == 0
+    n_clips = n // clip_len
+    t_clips = target // clip_len
+    valid = np.zeros(target, bool)
+    valid[:n] = True
+    if n == target:
+        batch = dict(batch)
+        batch["valid"] = valid
+        return batch
+    reps = [i % n_clips for i in range(t_clips)]
+    idx = np.concatenate([np.arange(r * clip_len, (r + 1) * clip_len)
+                          for r in reps])
+    out: Dict[str, np.ndarray] = {}
+    for k in _STACK_KEYS:
+        out[k] = batch[k][idx]
+    out["image_id"] = [batch["image_id"][i] for i in idx]
+    out["valid"] = valid
+    return out
+
+
+class DataPipeline:
+    """Iterate epoch batches of a WSOLVideoDataset."""
+
+    def __init__(self, dataset: WSOLVideoDataset, batch_size: int,
+                 keychain: KeyChain, shuffle: bool = True,
+                 num_workers: int = 4, num_shards: int = 1,
+                 shard_index: int = 0, drop_remainder: bool = False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.kc = keychain
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.drop_remainder = drop_remainder
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = self.kc.numpy_rng("shuffle", self.ds.split, epoch)
+            order = rng.permutation(n)
+        # contiguous per-shard slice with tail padding (same contract as
+        # DistributedSampler: each shard sees ceil(n/shards) samples)
+        per = -(-n // self.num_shards)
+        padded = np.concatenate([order, order[:per * self.num_shards - n]])
+        return padded[self.shard_index::self.num_shards]
+
+    def steps_per_epoch(self) -> int:
+        n = len(self._epoch_indices(0))
+        clips_per_batch = self.batch_size
+        if self.drop_remainder:
+            return n // clips_per_batch
+        return -(-n // clips_per_batch)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Yields batches of batch_size*clip_len frames (clip-major)."""
+        self.ds.set_epoch(epoch)
+        idxs = self._epoch_indices(epoch)
+        clip_len = self.ds.clip_len
+        target = self.batch_size * clip_len
+
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            fetched = pool.map(self.ds.get_item, idxs, chunksize=4)
+            it = iter(fetched)
+            while True:
+                chunk = list(itertools.islice(it, self.batch_size))
+                if not chunk:
+                    return
+                if self.drop_remainder and len(chunk) < self.batch_size:
+                    return
+                flat = [d for clip in chunk for d in clip]
+                batch = collate(flat)
+                batch = pad_batch_by_tiling(batch, target, clip_len)
+                yield batch
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Keep `size` batches in flight on device (double buffering); array
+    leaves go to the device, host-only entries ride along."""
+    queue = collections.deque()
+
+    def put(b):
+        dev = {k: (jax.device_put(v, sharding) if isinstance(v, np.ndarray)
+                   else v) for k, v in b.items()}
+        queue.append(dev)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out

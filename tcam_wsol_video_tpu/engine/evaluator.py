@@ -1,0 +1,134 @@
+"""Localization evaluation engine (the CAMComputer analogue).
+
+Parity target: /root/reference/dlib/learning/inference_wsol.py:105-500 —
+iterate the split, compute one normalized CAM per image, accumulate
+MaxBoxAcc/CorLoc counters + top1/top5 and classification accuracy;
+validation uses the coarse tau sweep above 1000 samples
+(/root/reference/dlib/configure/constants.py:294, train_wsol.py:1473-1480).
+
+TPU-native: the per-image model pass (batch size 1 in the reference,
+inference_wsol.py:332-337) becomes one jitted batched eval step; the cv2
+contour protocol runs on host over the streamed-back CAM batch (exact
+benchmark numbers), or entirely on device via the covering-box sweep for
+fast model selection.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcam_wsol_video_tpu.core import constants
+from tcam_wsol_video_tpu.engine.steps import make_cam_eval_step
+from tcam_wsol_video_tpu.metrics import device_eval
+from tcam_wsol_video_tpu.metrics.wsol import BoxEvaluator
+
+
+def cam_threshold_list(interval: float) -> np.ndarray:
+    return np.arange(0.0, 1.0, interval)
+
+
+class CamEvaluator:
+    def __init__(self, model, args, dataset, pipeline, split: str,
+                 fast: bool = False, on_device: bool = False,
+                 max_gt_boxes: int = 8):
+        self.model = model
+        self.args = args
+        self.ds = dataset
+        self.pipe = pipeline
+        self.split = split
+        interval = args.cam_curve_interval
+        if (fast and split == constants.VALIDSET
+                and len(dataset) > constants.FAST_EVAL_SAMPLES_THRESHOLD):
+            interval = constants.VALID_FAST_CAM_CURVE_INTERVAL
+        self.taus = cam_threshold_list(interval)
+        self.on_device = on_device
+        self.max_gt_boxes = max_gt_boxes
+        self.eval_step = make_cam_eval_step(model, args)
+
+    def _gt_batch(self, image_ids):
+        g = self.max_gt_boxes
+        boxes = np.zeros((len(image_ids), g, 4), np.float32)
+        valid = np.zeros((len(image_ids), g), bool)
+        for i, iid in enumerate(image_ids):
+            b = self.ds.eval_gt_boxes(iid)[:g]
+            boxes[i, :len(b)] = b
+            valid[i, :len(b)] = True
+        return boxes, valid
+
+    def run(self, variables: dict, key: jax.Array) -> Dict[str, float]:
+        params = variables["params"]
+        bstats = variables.get("batch_stats", {})
+
+        evaluator = BoxEvaluator(self.taus,
+                                 self.args.iou_threshold_list,
+                                 multi_contour_eval=(
+                                     self.args.multi_contour_eval))
+        sigmas = jnp.asarray(
+            [s / 100.0 for s in self.args.iou_threshold_list], jnp.float32)
+        taus_dev = jnp.asarray(self.taus, jnp.float32)
+        dev_counters = None
+        dev_count = 0
+
+        n_correct_cl = 0
+        n_total = 0
+
+        for batch in self.pipe.epoch(0):
+            images = jnp.asarray(batch["image"])
+            targets = jnp.asarray(batch["label"])
+            cams, logits = self.eval_step(params, bstats, images, targets,
+                                          key)
+            valid = batch["valid"]
+            logits_np = np.asarray(logits)
+            preds = np.argsort(-logits_np, axis=-1, kind="stable")
+            n_correct_cl += int(((preds[:, 0] == batch["label"])
+                                 & valid).sum())
+            n_total += int(valid.sum())
+
+            gt_boxes, gt_valid = self._gt_batch(batch["image_id"])
+            if self.on_device:
+                gt_valid_dev = jnp.asarray(gt_valid & valid[:, None])
+                c = device_eval.batch_counters(
+                    cams, jnp.asarray(gt_boxes), gt_valid_dev, taus_dev,
+                    sigmas)
+                dev_counters = c if dev_counters is None else dev_counters + c
+                dev_count += int(valid.sum())
+            else:
+                cams_np = np.asarray(cams)
+                for i in range(cams_np.shape[0]):
+                    if not valid[i]:
+                        continue
+                    evaluator.accumulate(cams_np[i],
+                                         gt_boxes[i][gt_valid[i]],
+                                         int(batch["label"][i]),
+                                         preds[i])
+
+        out: Dict[str, float] = {}
+        if self.on_device:
+            accs = np.asarray(device_eval.max_box_acc(
+                dev_counters, jnp.asarray(dev_count, jnp.float32)))
+            for s, a in zip(self.args.iou_threshold_list, accs):
+                out[f"maxboxacc_{s}"] = float(a)
+            out["curves"] = None
+        else:
+            accs = evaluator.compute()
+            for s, a in zip(self.args.iou_threshold_list, accs):
+                out[f"maxboxacc_{s}"] = float(a)
+            for s, a in zip(self.args.iou_threshold_list, evaluator.top1):
+                out[f"top1_loc_{s}"] = float(a)
+            for s, a in zip(self.args.iou_threshold_list, evaluator.top5):
+                out[f"top5_loc_{s}"] = float(a)
+            out["best_tau"] = evaluator.best_tau_list
+            out["curves"] = evaluator.curves
+
+        # aggregate localization score (reference train_wsol.py:1515-1522)
+        accs_only = [out[f"maxboxacc_{s}"]
+                     for s in self.args.iou_threshold_list]
+        if self.args.multi_iou_eval:
+            out["localization"] = float(np.mean(accs_only))
+        else:
+            out["localization"] = out["maxboxacc_50"]
+        out["classification"] = 100.0 * n_correct_cl / max(n_total, 1)
+        return out

@@ -1,0 +1,243 @@
+"""Jitted train / eval step builders.
+
+Parity target: the reference's hot loops —
+Trainer._wsol_training + TCAM branch
+(/root/reference/dlib/learning/train_wsol.py:700-890, 1107-1184) and
+CAMComputer.get_cam_one_sample (inference_wsol.py:248-374).
+
+TPU-native shape: ONE jitted function per phase.  The train step fuses
+forward, seed sampling, every loss term (CRF included — no GPU->CPU->C++
+round trip like dense_crf_loss.py:55-60), backward and the optimizer
+update; batches arrive clip-major with static shapes.  The eval step
+batch-computes CAMs where the reference pushes batch-size-1 tensors
+through the model (inference_wsol.py:332-337).  Data parallelism is a
+sharding annotation on the batch: XLA inserts the gradient psum (the DDP
+all-reduce analogue).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tcam_wsol_video_tpu.cams import extractors as ex
+from tcam_wsol_video_tpu.cams.seeding import TCAMSeederCfg, tcam_seeder
+from tcam_wsol_video_tpu.core import constants
+from tcam_wsol_video_tpu.engine.state import TrainState
+from tcam_wsol_video_tpu.losses.core import LossInputs, MasterLoss
+from tcam_wsol_video_tpu.ops.interpolate import resize_bilinear
+
+
+def _apply_model(model, params, batch_stats, images, train, key=None):
+    variables = {"params": params}
+    mutable = []
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if train else []
+    rngs = {"dropout": key} if key is not None else None
+    if train and mutable:
+        out, upd = model.apply(variables, images, train=True,
+                               rngs=rngs, mutable=mutable)
+        return out, upd.get("batch_stats", batch_stats)
+    out = model.apply(variables, images, train=train, rngs=rngs)
+    return out, batch_stats
+
+
+def make_train_step(model, master_loss: MasterLoss, optimizer, args,
+                    seeder_cfg: Optional[TCAMSeederCfg] = None):
+    """Returns train_step(state, batch, switches, key, seed_tech_weighted)
+    -> (new_state, metrics dict).
+
+    batch: image (B,H,W,3) normalized, label (B,), raw_img (B,H,W,3),
+    std_cam (B,H,W), roi (B,H,W), msk_bbox (B,H,W), fg_size placeholder,
+    valid (B,) — clip-major when knn_tc > 0.
+    """
+    task = args.task
+    needs_seeds = task in (constants.F_CL, constants.TCAM) and (
+        args.sl_tc or args.sl_fc)
+
+    def train_step(state: TrainState, batch, switches, key,
+                   seed_weighted: jax.Array):
+        k_seed, k_drop = jax.random.split(key)
+
+        seeds = None
+        if needs_seeds:
+            cams_inter = batch["std_cam"]
+            roi = batch["roi"] if args.sl_tc_use_roi else None
+            # seed technique is a schedule output; trace both and select
+            s_uni = tcam_seeder(k_seed, cams_inter, seeder_cfg, roi=roi,
+                                seed_tech=constants.SEED_UNIFORM)
+            if args.sl_tc_seed_tech == constants.SEED_WEIGHTED:
+                s_wgt = tcam_seeder(k_seed, cams_inter, seeder_cfg, roi=roi,
+                                    seed_tech=constants.SEED_WEIGHTED)
+                seeds = jnp.where(seed_weighted.astype(bool), s_wgt, s_uni)
+            else:
+                seeds = s_uni
+
+        def loss_fn(params):
+            out, new_bs = _apply_model(model, params, state.batch_stats,
+                                       batch["image"], train=True,
+                                       key=k_drop)
+            if task == constants.STD_CL:
+                logits = out["cl_logits"]
+                inputs = LossInputs(cl_logits=logits, glabel=batch["label"])
+            else:
+                logits = out["cl_logits"]
+                inputs = LossInputs(
+                    cams_inter=batch.get("std_cam"),
+                    fcams=out["fcams"],
+                    cl_logits=logits,
+                    glabel=batch["label"],
+                    raw_img=batch["raw_img"],
+                    x_in=batch["image"],
+                    im_recon=out["im_recon"],
+                    seeds=seeds,
+                    seq_iter=batch.get("seq_iter"),
+                    frm_iter=batch.get("frm_iter"),
+                    fg_size=batch.get("fg_size"),
+                    msk_bbox=batch.get("msk_bbox"),
+                )
+            total, holder = master_loss.compute(inputs, state.elb_t,
+                                                switches)
+            return total, (holder, new_bs, logits)
+
+        (loss, (holder, new_bs, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones(logits.shape[0], bool)
+        pred = jnp.argmax(logits, axis=-1)
+        n_correct = jnp.sum((pred == batch["label"]) & valid)
+        n = jnp.sum(valid)
+
+        new_state = state.replace(params=new_params, batch_stats=new_bs,
+                                  opt_state=new_opt,
+                                  step=state.step + 1)
+        metrics = {"loss": loss, "n_correct": n_correct, "n": n, **holder}
+        return new_state, metrics
+
+    return jax.jit(train_step)
+
+
+def make_forward_fn(model):
+    """Jitted batched forward returning the model's output dict."""
+    @jax.jit
+    def forward(params, batch_stats, images):
+        out, _ = _apply_model(model, params, batch_stats, images,
+                              train=False)
+        return out
+    return forward
+
+
+def make_cam_eval_step(model, args, classifier_model=None):
+    """Jitted batched CAM computation for evaluation.
+
+    Returns eval_step(params, batch_stats, images, targets, key) ->
+    (cams (B, crop, crop) in [0, 1] nan-guarded, cl_logits).
+    Mirrors get_cam_one_sample (inference_wsol.py:248-374) but batched.
+    """
+    task = args.task
+    method = args.method
+    crop = args.crop_size
+    support_bg = args.support_background
+
+    def _std_cam(params, batch_stats, images, targets, key):
+        out, _ = _apply_model(model, params, batch_stats, images,
+                              train=False)
+        logits = out["cl_logits"]
+        feats = out["features"][-1]
+
+        def head_fn(f):
+            h_out = model.apply({"params": params,
+                                 **({"batch_stats": batch_stats}
+                                    if batch_stats else {})},
+                                f, train=False,
+                                method="head_from_features")
+            return h_out[0]
+
+        if method == constants.METHOD_CAM:
+            fc_w = params["classification_head"]["fc"]["kernel"]
+            cam = ex.cam_fc_weights(feats, fc_w, targets, support_bg)
+        elif method == constants.METHOD_GRADCAM:
+            cam = ex.grad_cam(head_fn, feats, targets)
+        elif method == constants.METHOD_GRADCAMPP:
+            cam = ex.grad_cam_pp(head_fn, feats, targets)
+        elif method == constants.METHOD_XGRADCAM:
+            cam = ex.xgrad_cam(head_fn, feats, targets)
+        elif method == constants.METHOD_LAYERCAM:
+            cam = ex.layer_cam(head_fn, feats, targets)
+        elif method == constants.METHOD_SMOOTHGRADCAMPP:
+            def feats_fn(x):
+                o, _ = _apply_model(model, params, batch_stats, x,
+                                    train=False)
+                return o["features"][-1]
+            cam = ex.smooth_grad_cam_pp(feats_fn, head_fn, images, targets,
+                                        key)
+        elif method in (constants.METHOD_GAP, constants.METHOD_MAXPOOL,
+                        constants.METHOD_LSE, constants.METHOD_WILDCAT):
+            cam = ex.builtin_cam(out["cams_head"], targets, support_bg)
+        elif method in (constants.METHOD_SCORECAM, constants.METHOD_SSCAM,
+                        constants.METHOD_ISCAM):
+            def logits_fn(x):
+                o, _ = _apply_model(model, params, batch_stats, x,
+                                    train=False)
+                return o["cl_logits"]
+            if method == constants.METHOD_SCORECAM:
+                cam = ex.score_cam(logits_fn, images, feats, targets)
+            elif method == constants.METHOD_SSCAM:
+                cam = ex.sscam(logits_fn, images, feats, targets, key)
+            else:
+                cam = ex.iscam(logits_fn, images, feats, targets)
+        else:  # pragma: no cover
+            raise NotImplementedError(method)
+        return cam, logits
+
+    @jax.jit
+    def eval_step(params, batch_stats, images, targets, key):
+        if task == constants.STD_CL:
+            cam, logits = _std_cam(params, batch_stats, images, targets, key)
+        elif task in (constants.F_CL, constants.TCAM):
+            out, _ = _apply_model(model, params, batch_stats, images,
+                                  train=False)
+            cam = ex.seg_cam(out["fcams"], argmax=False)
+            logits = out["cl_logits"]
+        else:  # pragma: no cover
+            raise NotImplementedError(task)
+        cam = jnp.nan_to_num(cam.astype(jnp.float32), nan=0.0, posinf=1.0,
+                             neginf=0.0)
+        if cam.shape[-2:] != (crop, crop):
+            cam = resize_bilinear(cam[..., None], (crop, crop),
+                                  align_corners=False)[..., 0]
+        cam = jnp.clip(cam, 0.0, 1.0)
+        return cam, logits
+
+    return eval_step
+
+
+def make_classifier_cam_fn(classifier_model, args):
+    """Batched stage-1 CAM recomputation from the frozen seeder classifier
+    — used when stored CAMs are absent (reference get_std_cams_minibatch,
+    train_wsol.py:434-464) and to dump the CAM store offline."""
+    method = args.method
+    support_bg = args.support_background
+
+    @jax.jit
+    def cam_fn(params, batch_stats, images, targets):
+        out, _ = _apply_model(classifier_model, params, batch_stats, images,
+                              train=False)
+        feats = out["features"][-1]
+        if method == constants.METHOD_CAM:
+            fc_w = params["classification_head"]["fc"]["kernel"]
+            cam = ex.cam_fc_weights(feats, fc_w, targets, support_bg)
+        else:
+            cam = ex.builtin_cam(out["cams_head"], targets, support_bg)
+        return jnp.nan_to_num(cam, nan=0.0, posinf=1.0, neginf=0.0)
+
+    return cam_fn

@@ -1,0 +1,239 @@
+"""Training engine: epoch loop, evaluation, model selection, checkpoints.
+
+Parity target: Trainer (/root/reference/dlib/learning/train_wsol.py:213-
+1932): PerformanceMeter history per split x metric with best tracking
+(:76-152), epoch hooks (sampler/dataset epoch, DecayTemp step, seed-tech
+switch :944-976), periodic rolling checkpoints + pruning (:1187-1210), ELB
+t anneal at epoch end (:967-976), best-loc / best-cl model selection on
+validation peaks (:1735-1755), capturing the best models for the
+epoch-switch that swaps the seed source to the best student
+(:758-843, sl_tc_epoch_switch_to_sl).
+
+TPU-native: the whole step is one jitted function (engine/steps.py); the
+trainer is a thin host loop that feeds device-prefetched batches and keeps
+host-side state (meters, schedules, snapshots).
+"""
+from __future__ import annotations
+
+import copy
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcam_wsol_video_tpu.cams.seeding import TCAMSeederCfg
+from tcam_wsol_video_tpu.cams.temporal import DecayTemp
+from tcam_wsol_video_tpu.core import constants
+from tcam_wsol_video_tpu.core import checkpoint as ckpt
+from tcam_wsol_video_tpu.core.logger import log
+from tcam_wsol_video_tpu.core.prng import KeyChain
+from tcam_wsol_video_tpu.engine.evaluator import CamEvaluator
+from tcam_wsol_video_tpu.engine.lr import build_lr_fn
+from tcam_wsol_video_tpu.engine.optim import build_optimizer, set_lr
+from tcam_wsol_video_tpu.engine.state import TrainState
+from tcam_wsol_video_tpu.engine.steps import make_train_step
+from tcam_wsol_video_tpu.losses.build import get_loss
+from tcam_wsol_video_tpu.losses.elb import update_t
+
+
+class PerformanceMeter:
+    """Per-metric history + best tracking (reference train_wsol.py:76-96)."""
+
+    def __init__(self, higher_is_better: bool = True):
+        self.higher = higher_is_better
+        self.history: List[float] = []
+        self.best_value: Optional[float] = None
+        self.best_epoch: Optional[int] = None
+
+    def update(self, value: float, epoch: int) -> bool:
+        self.history.append(float(value))
+        better = (self.best_value is None or
+                  (value > self.best_value if self.higher
+                   else value < self.best_value))
+        if better:
+            self.best_value = float(value)
+            self.best_epoch = int(epoch)
+        return better
+
+
+class Trainer:
+    def __init__(self, args, model, train_pipe, eval_pipes: Dict[str, tuple],
+                 keychain: Optional[KeyChain] = None, init_variables=None):
+        """eval_pipes: {split: (dataset, pipeline)}."""
+        self.args = args
+        self.model = model
+        self.train_pipe = train_pipe
+        self.eval_pipes = eval_pipes
+        self.kc = keychain or KeyChain(args.seed)
+
+        self.master_loss = get_loss(args)
+        self.lr_fn = build_lr_fn(args)
+
+        if init_variables is None:
+            from tcam_wsol_video_tpu.models.factory import init_model
+            c = args.crop_size
+            init_variables = init_model(model, self.kc.key("init"),
+                                        (1, c, c, 3))
+        self.optimizer = build_optimizer(args, init_variables["params"],
+                                         self.lr_fn)
+        opt_state = self.optimizer.init(init_variables["params"])
+        self.state = TrainState.create(init_variables, opt_state,
+                                       elb_init_t=args.elb_init_t)
+
+        seeder_cfg = None
+        if args.task in (constants.TCAM, constants.F_CL):
+            seeder_cfg = TCAMSeederCfg(
+                seed_tech=args.sl_tc_seed_tech, min_=args.sl_tc_min,
+                max_=args.sl_tc_max, min_p=args.sl_tc_min_p,
+                max_p=args.sl_tc_max_p, fg_erode_k=args.sl_tc_fg_erode_k,
+                fg_erode_iter=args.sl_tc_fg_erode_iter, ksz=args.sl_tc_ksz,
+                seg_ignore_idx=args.seg_ignore_idx,
+                use_roi=args.sl_tc_use_roi)
+        self.train_step = make_train_step(model, self.master_loss,
+                                          self.optimizer, args, seeder_cfg)
+
+        self.decay_temp = None
+        if args.task == constants.TCAM:
+            self.decay_temp = DecayTemp(
+                sl_tc_knn_t=args.sl_tc_knn_t, sl_tc_min_t=args.sl_tc_min_t,
+                sl_tc_knn=args.sl_tc_knn, sl_tc_knn_mode=args.sl_tc_knn_mode,
+                sl_tc_knn_epoch_switch_uniform=(
+                    args.sl_tc_knn_epoch_switch_uniform),
+                sl_tc_seed_tech=args.sl_tc_seed_tech)
+            if getattr(train_pipe.ds, "decay_temp", None) is None:
+                train_pipe.ds.decay_temp = self.decay_temp
+
+        self.meters = {
+            "val_localization": PerformanceMeter(True),
+            "val_classification": PerformanceMeter(True),
+            "train_loss": PerformanceMeter(False),
+            "train_classification": PerformanceMeter(True),
+        }
+        self.best_loc_variables = None
+        self.best_cl_variables = None
+        self.outd = os.path.join(args.outd, args.tag, args.exp_id)
+        os.makedirs(self.outd, exist_ok=True)
+
+    # -------------------------------------------------------------- train
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        args = self.args
+        if self.decay_temp is not None:
+            self.decay_temp.set_epoch(epoch)
+        seed_weighted = jnp.asarray(
+            1.0 if (self.decay_temp is not None and
+                    self.decay_temp.seed_tech == constants.SEED_WEIGHTED)
+            or (self.decay_temp is None and
+                args.sl_tc_seed_tech == constants.SEED_WEIGHTED)
+            else 0.0, jnp.float32)
+        switches = self.master_loss.switches(epoch)
+        self.state = self.state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+        # per-epoch LR tick (reference adjust_learning_rate per epoch)
+        self.state = self.state.replace(
+            opt_state=set_lr(self.state.opt_state, self.lr_fn(epoch)))
+
+        tot_loss, n_corr, n = 0.0, 0, 0
+        t0 = time.time()
+        for i, batch in enumerate(self.train_pipe.epoch(epoch)):
+            key = self.kc.key("train", epoch, i)
+            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                         if k != "image_id"}
+            self.state, metrics = self.train_step(
+                self.state, dev_batch, switches, key, seed_weighted)
+            tot_loss += float(metrics["loss"])
+            n_corr += int(metrics["n_correct"])
+            n += int(metrics["n"])
+            step = int(self.state.step)
+            if args.checkpoint_save > 0 and step % args.checkpoint_save == 0:
+                ckpt.save_checkpoint(self.outd, step, self.state)
+                ckpt.keep_last_n_checkpoints(self.outd,
+                                             args.keep_last_n_checkpoints)
+            if args.log_every and (i % args.log_every == 0):
+                log({"split": "train", "epoch": epoch, "it": i,
+                     "loss": float(metrics["loss"])}, step=step)
+
+        # epoch end: ELB anneal (reference on_epoch_end :967-976)
+        self.state = self.state.replace(
+            elb_t=update_t(self.state.elb_t, args.elb_mulcoef,
+                           args.elb_max_t))
+        out = {
+            "loss": tot_loss / max(1, self.train_pipe.steps_per_epoch()),
+            "classification": 100.0 * n_corr / max(1, n),
+            "seconds": time.time() - t0,
+        }
+        self.meters["train_loss"].update(out["loss"], epoch)
+        self.meters["train_classification"].update(out["classification"],
+                                                   epoch)
+        log({"split": "train", "epoch": epoch, **out})
+        return out
+
+    # --------------------------------------------------------------- eval
+    def evaluate(self, epoch: int, split: str,
+                 on_device: Optional[bool] = None) -> Dict[str, float]:
+        ds, pipe = self.eval_pipes[split]
+        ev = CamEvaluator(self.model, self.args, ds, pipe, split,
+                          fast=self.args.fast_eval,
+                          on_device=(self.args.on_device_eval
+                                     if on_device is None else on_device))
+        res = ev.run(self.state.variables(), self.kc.key("eval", split,
+                                                         epoch))
+        res.pop("curves", None)
+        log({"split": split, "epoch": epoch,
+             **{k: v for k, v in res.items()
+                if isinstance(v, (int, float))}})
+        return res
+
+    # ----------------------------------------------------- model selection
+    def model_selection(self, epoch: int, val_res: Dict[str, float]) -> None:
+        """Track best-localization and best-classification snapshots
+        (reference :1735-1755)."""
+        if self.meters["val_localization"].update(
+                val_res["localization"], epoch):
+            self.best_loc_variables = jax.device_get(self.state.variables())
+            ckpt.save_best_model(
+                os.path.join(self.outd, constants.BEST_LOC),
+                int(self.state.step), self.best_loc_variables,
+                extra={"epoch": epoch,
+                       "localization": val_res["localization"]})
+        if self.meters["val_classification"].update(
+                val_res["classification"], epoch):
+            self.best_cl_variables = jax.device_get(self.state.variables())
+            ckpt.save_best_model(
+                os.path.join(self.outd, constants.BEST_CL),
+                int(self.state.step), self.best_cl_variables,
+                extra={"epoch": epoch,
+                       "classification": val_res["classification"]})
+
+    def load_checkpoint_if_any(self) -> int:
+        step, restored = ckpt.find_last_checkpoint(self.outd, self.state)
+        if restored is not None:
+            self.state = restored
+            log(f"resumed from step {step}")
+            return int(np.asarray(restored.epoch)) + 1
+        return 0
+
+    # ---------------------------------------------------------------- fit
+    def fit(self) -> Dict[str, Dict[str, float]]:
+        start = self.load_checkpoint_if_any()
+        val0 = self.evaluate(start, constants.VALIDSET)
+        self.model_selection(start, val0)
+        for epoch in range(start, self.args.max_epochs):
+            self.train_epoch(epoch)
+            val = self.evaluate(epoch, constants.VALIDSET)
+            self.model_selection(epoch, val)
+        # final test at both best checkpoints (reference main.py:124-160)
+        results = {}
+        for tag, variables in ((constants.BEST_LOC, self.best_loc_variables),
+                               (constants.BEST_CL, self.best_cl_variables)):
+            if variables is None:
+                continue
+            saved = self.state
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}))
+            results[tag] = self.evaluate(self.args.max_epochs,
+                                         constants.TESTSET)
+            self.state = saved
+        return results

@@ -1,0 +1,86 @@
+"""F_CL (FCAM) losses.
+
+Parity targets (/root/reference/dlib/losses/fcam.py):
+- SelfLearningFcams (:70-110): CE(fcams, seeds) with ignore index;
+- ConRanFieldFcams (:113-159): DenseCRFLoss on (raw_img, softmax fcams);
+- EntropyFcams (:162-210): pixelwise entropy (log2) of the softmax maps;
+- MaxSizePositiveFcams (:213-267): ELB(-area) on both channels;
+- ImgReconstruction (:27-67): ELB over per-sample MSE (or plain mean MSE
+  without ELB, reference config im_rec_elb).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tcam_wsol_video_tpu.losses.core import (ElementaryLoss, LossInputs,
+                                             softmax_fcams)
+from tcam_wsol_video_tpu.losses.elb import elb
+from tcam_wsol_video_tpu.ops.crf import dense_crf_loss
+
+
+def cross_entropy_ignore(fcams_logits: jax.Array, seeds: jax.Array,
+                         ignore_idx: int) -> jax.Array:
+    """Mean CE over non-ignored pixels (torch CrossEntropyLoss with
+    ignore_index semantics).  fcams_logits: (B, H, W, K); seeds (B, H, W)
+    int in {0..K-1, ignore_idx}."""
+    valid = seeds != ignore_idx
+    tgt = jnp.where(valid, seeds, 0)
+    logp = jax.nn.log_softmax(fcams_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / denom
+
+
+class SelfLearningFcams(ElementaryLoss):
+    def compute(self, inputs: LossInputs, t) -> jax.Array:
+        return self.lambda_ * cross_entropy_ignore(
+            inputs.fcams, inputs.seeds, self.seg_ignore_idx)
+
+
+class ConRanFieldFcams(ElementaryLoss):
+    def __init__(self, sigma_rgb=15.0, sigma_xy=100.0, scale_factor=1.0,
+                 **kw):
+        super().__init__(**kw)
+        self.sigma_rgb = sigma_rgb
+        self.sigma_xy = sigma_xy
+        self.scale_factor = scale_factor
+
+    def compute(self, inputs: LossInputs, t) -> jax.Array:
+        probs = softmax_fcams(inputs.fcams)
+        return self.lambda_ * dense_crf_loss(
+            inputs.raw_img, probs, self.sigma_rgb, self.sigma_xy,
+            self.scale_factor)
+
+
+class EntropyFcams(ElementaryLoss):
+    def compute(self, inputs: LossInputs, t) -> jax.Array:
+        probs = softmax_fcams(inputs.fcams)
+        ent = -jnp.sum(probs * jnp.log2(jnp.maximum(probs, 1e-12)), axis=-1)
+        return self.lambda_ * jnp.mean(ent)
+
+
+class MaxSizePositiveFcams(ElementaryLoss):
+    def compute(self, inputs: LossInputs, t) -> jax.Array:
+        probs = softmax_fcams(inputs.fcams)
+        b = probs.shape[0]
+        loss = jnp.float32(0.0)
+        for c in (0, 1):
+            area = jnp.sum(probs[..., c].reshape(b, -1), axis=-1)
+            loss = loss + elb(-area, t)
+        return self.lambda_ * loss * 0.5
+
+
+class ImgReconstruction(ElementaryLoss):
+    def __init__(self, use_elb: bool = False, **kw):
+        super().__init__(**kw)
+        self.use_elb = use_elb
+
+    def compute(self, inputs: LossInputs, t) -> jax.Array:
+        n = inputs.x_in.shape[0]
+        mse = jnp.mean(
+            ((inputs.x_in - inputs.im_recon) ** 2).reshape(n, -1), axis=1)
+        if self.use_elb:
+            return self.lambda_ * elb(mse, t)
+        return self.lambda_ * jnp.mean(mse)

@@ -1,0 +1,95 @@
+"""Device mesh + sharding utilities — the TPU-native distributed backend.
+
+Replaces the reference's torch.distributed stack (DDP wrapper
+/root/reference/dlib/parallel/my_ddp.py, all-gather helper
+/root/reference/dlib/parallel/__init__.py:15-24, process-group setup
+/root/reference/dlib/process/parseit.py:1128-1134):
+
+- one 2-D logical mesh (dp, mp): dp shards the batch (the DDP analogue —
+  gradient all-reduce becomes an XLA-inserted psum riding ICI), mp is the
+  model axis available for tensor-parallel annotations;
+- replication is a sharding annotation, not a module wrapper;
+- metric/loss reduction is `psum_across` (replacing
+  sync_tensor_across_gpus + .sum());
+- multi-host init via jax.distributed.initialize (DCN) when env vars are
+  present — the SLURM-rank parsing analogue of parseit.py:798-821.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tcam_wsol_video_tpu.core import constants
+
+DP = constants.MESH_DATA_AXIS
+MP = constants.MESH_MODEL_AXIS
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host (DCN) initialization when launched by a cluster runner.
+    Single-host runs skip this — jax already sees all local devices."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+
+
+def make_mesh(dp: int = -1, mp: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    n = len(devs)
+    if dp == -1:
+        dp = n // mp
+    assert dp * mp == n, f"mesh {dp}x{mp} != {n} devices"
+    arr = np.asarray(devs).reshape(dp, mp)
+    return Mesh(arr, (DP, MP))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis sharded over dp, everything else replicated."""
+    return NamedSharding(mesh, P(DP))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place every array leaf of a batch pytree with its batch axis over
+    dp (host-local numpy goes straight to per-device buffers)."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh) if hasattr(x, "shape") else x, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def psum_across(x, mesh: Mesh):
+    """Sum a host-side value across data-parallel processes.  In-process
+    meshes hold all shards locally so this is a no-op add; multi-host uses
+    a tiny jitted psum program over the mesh."""
+    if jax.process_count() == 1:
+        return x
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(lambda v: jax.lax.psum(v, DP), mesh=mesh,
+                   in_specs=P(DP), out_specs=P())
+    tiled = jnp.tile(jnp.asarray(x)[None], (mesh.shape[DP],) +
+                     (1,) * np.ndim(x))
+    return np.asarray(jax.jit(fn)(tiled))
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
+    """Per-process share of the global batch for multi-host input
+    pipelines."""
+    return global_batch // jax.process_count()

@@ -1,0 +1,196 @@
+"""CAM extraction / seeding / ROI / temporal-fusion tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcam_wsol_video_tpu.cams import extractors as ex
+from tcam_wsol_video_tpu.cams import seeding
+from tcam_wsol_video_tpu.cams.roi import roi_one_cam, roi_one_cam_np
+from tcam_wsol_video_tpu.cams.temporal import DecayTemp, fuse_temporal_max
+from tcam_wsol_video_tpu.core import constants as C
+
+
+# ------------------------------------------------------------ extractors
+def test_cam_fc_weights_matches_manual(rng):
+    feats = rng.standard_normal((2, 7, 7, 16)).astype(np.float32)
+    w = rng.standard_normal((16, 4)).astype(np.float32)   # flax (in, out)
+    idx = np.array([1, 3])
+    got = np.asarray(ex.cam_fc_weights(jnp.asarray(feats), jnp.asarray(w),
+                                       jnp.asarray(idx), normalized=False))
+    for b in range(2):
+        want = np.maximum((feats[b] @ w[:, idx[b]]), 0)
+        np.testing.assert_allclose(got[b], want, atol=1e-5)
+
+
+def test_normalize_minmax():
+    cam = jnp.asarray([[0.0, 2.0], [4.0, 8.0]])
+    out = np.asarray(ex.normalize_minmax(cam))
+    assert out.min() == 0.0 and out.max() == 1.0
+
+
+def test_gradcam_linear_head_equals_cam(rng):
+    """With a linear GAP->fc head, GradCAM weights = fc row / (h*w),
+    so the normalized GradCAM equals the normalized CAM."""
+    feats = jnp.asarray(np.abs(rng.standard_normal((1, 5, 5, 8))
+                               ).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
+
+    def head_fn(f):
+        return jnp.mean(f, axis=(1, 2)) @ w
+
+    idx = jnp.asarray([2])
+    got = np.asarray(ex.grad_cam(head_fn, feats, idx))
+    want = np.asarray(ex.cam_fc_weights(feats, w, idx))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_layer_xgrad_cams_finite(rng):
+    feats = jnp.asarray(np.abs(rng.standard_normal((2, 5, 5, 8))
+                               ).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
+    head_fn = lambda f: jnp.mean(f, axis=(1, 2)) @ w  # noqa: E731
+    idx = jnp.asarray([0, 2])
+    for fn in (ex.grad_cam_pp, ex.xgrad_cam, ex.layer_cam):
+        out = np.asarray(fn(head_fn, feats, idx))
+        assert out.shape == (2, 5, 5)
+        assert np.isfinite(out).all()
+        assert out.min() >= 0 and out.max() <= 1
+
+
+def test_seg_cam():
+    fcams = jnp.asarray(np.zeros((1, 4, 4, 2), np.float32))
+    out = np.asarray(ex.seg_cam(fcams))
+    np.testing.assert_allclose(out, 0.5)
+    binary = np.asarray(ex.seg_cam(fcams.at[..., 1].set(1.0), argmax=True))
+    np.testing.assert_allclose(binary, 1.0)
+
+
+# --------------------------------------------------------------- seeding
+def test_tcam_seeder_counts_and_values(rng):
+    cams = jnp.asarray(rng.random((4, 16, 16)).astype(np.float32))
+    cfg = seeding.TCAMSeederCfg(min_=7, max_=5, min_p=0.2, max_p=0.2, ksz=1)
+    seeds = np.asarray(seeding.tcam_seeder(jax.random.PRNGKey(0), cams, cfg))
+    assert seeds.shape == (4, 16, 16)
+    for b in range(4):
+        vals, counts = np.unique(seeds[b], return_counts=True)
+        d = dict(zip(vals.tolist(), counts.tolist()))
+        assert d.get(1, 0) == 5, d     # fg seeds
+        assert d.get(0, 0) == 7, d     # bg seeds
+        assert d.get(-255, 0) == 256 - 12
+
+
+def test_tcam_seeder_fg_in_top_fraction(rng):
+    cam = rng.random((20, 20)).astype(np.float32)
+    cams = jnp.asarray(cam[None])
+    cfg = seeding.TCAMSeederCfg(min_=5, max_=5, min_p=0.2, max_p=0.1, ksz=1,
+                                seed_tech=C.SEED_WEIGHTED)
+    seeds = np.asarray(seeding.tcam_seeder(jax.random.PRNGKey(1), cams, cfg))
+    n_top = int(0.1 * 400)
+    thresh = np.sort(cam.ravel())[::-1][n_top - 1]
+    fg_vals = cam[seeds[0] == 1]
+    assert (fg_vals >= thresh).all()
+    n_bot = int(0.2 * 400)
+    bot_thresh = np.sort(cam.ravel())[n_bot - 1]
+    bg_vals = cam[seeds[0] == 0]
+    assert (bg_vals <= bot_thresh).all()
+
+
+def test_tcam_seeder_degenerate_cam_all_ignore():
+    cams = jnp.ones((1, 8, 8), jnp.float32) * 0.3
+    cfg = seeding.TCAMSeederCfg(min_=3, max_=3)
+    seeds = np.asarray(seeding.tcam_seeder(jax.random.PRNGKey(0), cams, cfg))
+    assert (seeds == -255).all()
+
+
+def test_tcam_seeder_dilation_and_roi(rng):
+    cam = np.zeros((16, 16), np.float32)
+    cam[4:8, 4:8] = 1.0  # bright block
+    roi = np.zeros((16, 16), np.int32)
+    roi[4:8, 4:8] = 1
+    cfg = seeding.TCAMSeederCfg(min_=2, max_=2, min_p=0.2, max_p=1.0,
+                                ksz=3, use_roi=True)
+    seeds = np.asarray(seeding.tcam_seeder(
+        jax.random.PRNGKey(2), jnp.asarray(cam[None]), cfg,
+        roi=jnp.asarray(roi[None])))
+    ys, xs = np.nonzero(seeds[0] == 1)
+    # fg seeds (dilated by 3) stay within the roi block +- 1
+    assert ys.min() >= 3 and ys.max() <= 8
+    assert xs.min() >= 3 and xs.max() <= 8
+
+
+def test_fcam_seeder(rng):
+    cams = jnp.asarray(rng.random((2, 16, 16)).astype(np.float32))
+    cfg = seeding.FCAMSeederCfg(min_=4, max_=4, min_p=0.3, fg_erode_iter=0)
+    seeds = np.asarray(seeding.fcam_seeder(jax.random.PRNGKey(0), cams, cfg))
+    for b in range(2):
+        assert (seeds[b] == 1).sum() == 4
+        assert (seeds[b] == 0).sum() == 4
+
+
+# ------------------------------------------------------------------- roi
+@pytest.mark.parametrize("method", [C.ROI_ALL, C.ROI_LARGEST,
+                                    C.ROI_H_DENSITY])
+def test_roi_device_matches_host(method, rng):
+    cam = np.zeros((24, 24), np.float32)
+    cam[2:8, 2:8] = 0.9          # dense small blob
+    cam[12:22, 12:22] = 0.6      # bigger, less dense blob
+    cam += rng.random((24, 24)).astype(np.float32) * 0.05
+    cam = np.clip(cam, 0, 1)
+    roi_d, mask_d, box_d = roi_one_cam(jnp.asarray(cam), method, 0.05)
+    roi_h, mask_h, box_h = roi_one_cam_np(cam, method, 0.05)
+    np.testing.assert_array_equal(np.asarray(roi_d), roi_h)
+    np.testing.assert_array_equal(np.asarray(box_d), box_h)
+    np.testing.assert_array_equal(np.asarray(mask_d), mask_h)
+
+
+def test_roi_largest_picks_big_blob():
+    # background must spread below the Otsu split: a constant background
+    # lands exactly on the threshold and the >= comparison keeps it
+    # (same behavior as the reference's STOtsu + >= thresholding)
+    rng = np.random.default_rng(0)
+    cam = (rng.random((24, 24)) * 0.1).astype(np.float32)
+    cam[2:6, 2:6] = 1.0
+    cam[10:22, 10:22] = 0.8
+    roi, mask, box = roi_one_cam_np(cam, C.ROI_LARGEST, 0.05)
+    assert roi[15, 15] == 1 and roi[3, 3] == 0
+    np.testing.assert_array_equal(box, [10, 10, 22, 22])
+
+
+# -------------------------------------------------------------- temporal
+def test_fuse_temporal_max_and_heat(rng):
+    cams = rng.random((2, 3, 8, 8)).astype(np.float32)
+    valid = np.array([[True, True, False], [True, False, False]])
+    out = np.asarray(fuse_temporal_max(jnp.asarray(cams),
+                                       jnp.asarray(valid), t=0.0))
+    want0 = np.maximum(cams[0, 0], cams[0, 1])
+    np.testing.assert_allclose(out[0], want0, atol=1e-6)
+    np.testing.assert_allclose(out[1], cams[1, 0], atol=1e-6)
+
+    heated = np.asarray(fuse_temporal_max(jnp.asarray(cams),
+                                          jnp.asarray(valid), t=10.0))
+    assert heated.max() <= 1.0 + 1e-6
+    assert np.isfinite(heated).all()
+
+
+def test_decay_temp_schedule():
+    """Mirrors the reference DecayTemp behavior (decay_temp.py:101-115)."""
+    dt = DecayTemp(sl_tc_knn_t=10.0, sl_tc_min_t=1.0, sl_tc_knn=1,
+                   sl_tc_knn_mode=C.TIME_BEFORE,
+                   sl_tc_knn_epoch_switch_uniform=5,
+                   sl_tc_seed_tech=C.SEED_WEIGHTED)
+    assert dt.t == 10.0
+    assert dt.seed_tech == C.SEED_WEIGHTED
+    dt.set_epoch(3)
+    assert dt.t == pytest.approx(10.0 - 3 * (9.0 / 5))
+    dt.set_epoch(5)
+    assert dt.seed_tech == C.SEED_UNIFORM
+    dt.set_epoch(50)
+    assert dt.t == 1.0
+
+    dt2 = DecayTemp(sl_tc_knn_t=2.0, sl_tc_min_t=0.0, sl_tc_knn=0,
+                    sl_tc_knn_mode=C.TIME_INSTANT,
+                    sl_tc_knn_epoch_switch_uniform=-1,
+                    sl_tc_seed_tech=C.SEED_UNIFORM)
+    dt2.set_epoch(100)
+    assert dt2.t == 2.0

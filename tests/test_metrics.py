@@ -1,0 +1,113 @@
+"""Metric tests: exact-protocol BoxEvaluator on synthetic cams with known
+boxes; device sweep agreement on single-blob cams; PxAP sanity."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcam_wsol_video_tpu.metrics import device_eval
+from tcam_wsol_video_tpu.metrics.wsol import (BoxEvaluator, MaskEvaluator,
+                                              scoremap_to_boxes)
+
+
+def _blob_cam(h, w, box, lo=0.1, hi=0.9):
+    cam = np.full((h, w), lo, np.float32)
+    x0, y0, x1, y1 = box
+    cam[y0:y1 + 1, x0:x1 + 1] = hi
+    return cam
+
+
+def test_scoremap_to_boxes_single_blob():
+    # benchmark convention: boundingRect end is exclusive (x+w), clamped
+    cam = _blob_cam(32, 32, (4, 6, 15, 20))
+    boxes, counts = scoremap_to_boxes(cam, [0.5], multi_contour=False)
+    assert counts == [1]
+    np.testing.assert_array_equal(boxes[0][0], [4, 6, 16, 21])
+
+
+def test_scoremap_to_boxes_multi_contour():
+    cam = _blob_cam(32, 32, (2, 2, 8, 8))
+    cam[20:28, 20:30] = 0.9
+    boxes, counts = scoremap_to_boxes(cam, [0.5], multi_contour=True)
+    assert counts == [2]
+    got = {tuple(b) for b in boxes[0].astype(int).tolist()}
+    assert (2, 2, 9, 9) in got and (20, 20, 30, 28) in got
+
+
+def test_box_evaluator_perfect_predictions():
+    taus = np.arange(0.0, 1.0, 0.05)
+    ev = BoxEvaluator(taus, multi_contour_eval=True)
+    for i in range(10):
+        box = (4 + i, 6, 20 + i, 22)
+        cam = _blob_cam(64, 64, box)
+        ev.accumulate(cam, np.asarray([box]), target=1,
+                      preds_ordered=np.asarray([1, 0]))
+    acc = ev.compute()
+    assert acc == [100.0, 100.0, 100.0]
+    assert ev.top1 == [100.0, 100.0, 100.0]
+
+
+def test_box_evaluator_misses():
+    taus = np.arange(0.0, 1.0, 0.05)
+    ev = BoxEvaluator(taus)
+    cam = _blob_cam(64, 64, (0, 0, 10, 10))
+    ev.accumulate(cam, np.asarray([[40, 40, 60, 60]]), target=0,
+                  preds_ordered=np.asarray([1, 0]))
+    acc = ev.compute()
+    assert acc == [0.0, 0.0, 0.0]
+
+
+def test_box_evaluator_cbox_path():
+    taus = np.arange(0.0, 1.0, 0.25)
+    ev = BoxEvaluator(taus)
+    ev.accumulate(None, np.asarray([[5, 5, 20, 20]]), target=0,
+                  preds_ordered=np.asarray([0, 1]),
+                  bbox=[5, 5, 20, 20], bbox_status=1)
+    ev.accumulate(None, np.asarray([[5, 5, 20, 20]]), target=0,
+                  preds_ordered=np.asarray([0, 1]),
+                  bbox=[0, 0, 1, 1], bbox_status=0)
+    acc = ev.compute()
+    assert acc == [50.0, 50.0, 50.0]
+
+
+def test_device_eval_matches_host_on_single_blob():
+    """Single connected blob: covering box == benchmark box, so the device
+    sweep reproduces the exact counters."""
+    taus = np.arange(0.01, 1.0, 0.01, dtype=np.float32)
+    sigmas = np.asarray([0.3, 0.5, 0.7], np.float32)
+    cams, gtb = [], []
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        x0, y0 = rng.integers(2, 20, 2)
+        bw, bh = rng.integers(8, 30, 2)
+        box = (int(x0), int(y0), int(x0 + bw), int(y0 + bh))
+        cams.append(_blob_cam(64, 64, box))
+        gtb.append(box)
+    cams = np.stack(cams)
+    gt = np.asarray(gtb, np.float32)[:, None, :]
+    valid = np.ones((6, 1), bool)
+
+    counters = np.asarray(device_eval.batch_counters(
+        jnp.asarray(cams), jnp.asarray(gt), jnp.asarray(valid),
+        jnp.asarray(taus), jnp.asarray(sigmas)))
+
+    ev = BoxEvaluator(taus, multi_contour_eval=True)
+    for i in range(6):
+        ev.accumulate(cams[i], gt[i], target=0,
+                      preds_ordered=np.asarray([0]))
+    host = np.stack([ev.num_correct[30], ev.num_correct[50],
+                     ev.num_correct[70]])
+    np.testing.assert_array_equal(counters, host)
+
+
+def test_mask_evaluator_pxap():
+    taus = list(np.arange(0.0, 1.0, 0.01))
+    ev = MaskEvaluator(taus)
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        gt = np.zeros((32, 32), np.float32)
+        gt[8:24, 8:24] = 1
+        # perfectly separable scoremap -> PxAP == 100
+        sm = np.where(gt > 0, 0.9, 0.1).astype(np.float64)
+        sm += rng.random((32, 32)) * 0.01
+        ev.accumulate(np.clip(sm, 0, 1), gt)
+    assert ev.compute() == pytest.approx(100.0, abs=0.5)

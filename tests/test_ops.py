@@ -1,0 +1,212 @@
+"""Unit tests for the ops layer against independent oracles (torch-cpu,
+scipy, dense numpy)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from tcam_wsol_video_tpu.ops import boxes as box_ops
+from tcam_wsol_video_tpu.ops import connected_components as cc
+from tcam_wsol_video_tpu.ops import crf as crf_ops
+from tcam_wsol_video_tpu.ops import morphology as morph
+from tcam_wsol_video_tpu.ops import otsu as otsu_ops
+from tcam_wsol_video_tpu.ops.interpolate import (resize_bilinear,
+                                                 resize_nearest, resize_hw)
+
+
+# ------------------------------------------------------------ interpolate
+@pytest.mark.parametrize("align", [True, False])
+@pytest.mark.parametrize("shape", [((7, 9), (14, 18)), ((28, 28), (224, 224)),
+                                   ((16, 12), (5, 7))])
+def test_bilinear_matches_torch(align, shape, rng):
+    (h, w), (ho, wo) = shape
+    x = rng.standard_normal((2, h, w, 3), dtype=np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), (ho, wo),
+                                     align_corners=align))
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = F.interpolate(t, (ho, wo), mode="bilinear", align_corners=align)
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_nearest_matches_torch(rng):
+    x = rng.standard_normal((1, 10, 13, 2), dtype=np.float32)
+    got = np.asarray(resize_nearest(jnp.asarray(x), (23, 7)))
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = F.interpolate(t, (23, 7), mode="nearest").permute(0, 2, 3, 1).numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_resize_hw(rng):
+    x = rng.random((4, 8, 8), dtype=np.float32)
+    y = resize_hw(jnp.asarray(x), (16, 16))
+    assert y.shape == (4, 16, 16)
+
+
+# ------------------------------------------------------------- morphology
+def test_dilate_erode_match_binary_oracle(rng):
+    from scipy import ndimage as ndi
+    m = (rng.random((2, 17, 19)) > 0.7).astype(np.float32)
+    k = 3
+    got_d = np.asarray(morph.dilate(jnp.asarray(m), k))
+    got_e = np.asarray(morph.erode(jnp.asarray(m), k))
+    for b in range(2):
+        want_d = ndi.grey_dilation(m[b], size=(k, k), mode="constant",
+                                   cval=-np.inf)
+        want_e = ndi.grey_erosion(m[b], size=(k, k), mode="constant",
+                                  cval=np.inf)
+        np.testing.assert_array_equal(got_d[b], want_d)
+        np.testing.assert_array_equal(got_e[b], want_e)
+
+
+# ------------------------------------------------------------------ otsu
+def _stotsu_reference(x: np.ndarray) -> float:
+    """Numpy port of the reference STOtsu
+    (/root/reference/dlib/cams/core_seeding.py:23-58) as oracle."""
+    mn, mx = x.min(), x.max()
+    if mn == mx:
+        return float(mn)
+    bins = int(mx - mn + 1)
+    centers = np.arange(mn, mx + 1, dtype=np.float64)
+    hist, _ = np.histogram(x.ravel(), bins=bins, range=(mn, mx))
+    hist = hist.astype(np.float64)
+    w1 = np.cumsum(hist)
+    w2 = np.cumsum(hist[::-1])[::-1]
+    m1 = np.cumsum(hist * centers) / w1
+    m2 = (np.cumsum((hist * centers)[::-1]) / np.cumsum(hist[::-1]))[::-1]
+    var12 = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
+    return float(centers[:-1][np.argmax(var12)])
+
+
+def test_otsu_matches_reference_impl(rng):
+    cams = rng.random((6, 24, 24)).astype(np.float32)
+    cams[0] = 0.5  # degenerate
+    got = np.asarray(otsu_ops.otsu_threshold_batch(jnp.asarray(cams)))
+    for b in range(6):
+        want = _stotsu_reference(np.floor(cams[b] * 255.0))
+        assert got[b] == pytest.approx(want), b
+
+
+# ----------------------------------------------------------------- boxes
+def test_iou_matrix_against_reference_convention(rng):
+    a = np.array([[0, 0, 9, 9], [5, 5, 14, 14], [0, 0, 0, 0]], np.float64)
+    b = np.array([[0, 0, 9, 9], [10, 10, 19, 19]], np.float64)
+    got = box_ops.iou_matrix_np(a, b)
+    # identical boxes -> 1; +1 convention: [0,0,9,9] is 10x10=100 px
+    assert got[0, 0] == pytest.approx(1.0)
+    inter = 5 * 5
+    assert got[1, 1] == pytest.approx(inter / (100 + 100 - inter))
+    dev = np.asarray(box_ops.iou_matrix(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(dev, got, atol=1e-6)
+
+
+def test_sweep_covering_boxes_matches_bruteforce(rng):
+    cam = rng.random((31, 37)).astype(np.float32)
+    taus = np.arange(0.0, 1.0, 0.05, dtype=np.float32)
+    got = np.asarray(box_ops.sweep_covering_boxes(jnp.asarray(cam),
+                                                  jnp.asarray(taus)))
+    q = np.floor(cam * 255.0)
+    m = q.max()
+    for i, t in enumerate(taus):
+        mask = q > np.floor(t * m)
+        if not mask.any():
+            np.testing.assert_array_equal(got[i], np.zeros(4))
+            continue
+        ys, xs = np.nonzero(mask)
+        want = [xs.min(), ys.min(),
+                min(xs.max() + 1, cam.shape[1] - 1),
+                min(ys.max() + 1, cam.shape[0] - 1)]
+        np.testing.assert_array_equal(got[i], np.asarray(want, np.float32))
+
+
+# --------------------------------------------------- connected components
+def test_label_jax_matches_scipy(rng):
+    m = (rng.random((40, 40)) > 0.6).astype(np.int32)
+    want = cc.label_np(m)
+    got = np.asarray(cc.label_jax(jnp.asarray(m), num_iters=100))
+    # same partition: bijection between label ids
+    assert (got > 0).sum() == (want > 0).sum()
+    pairs = set(zip(got[got > 0].tolist(), want[want > 0].tolist()))
+    assert len(pairs) == len(set(p[0] for p in pairs))
+    assert len(pairs) == len(set(p[1] for p in pairs))
+
+
+def test_component_stats(rng):
+    m = np.zeros((16, 16), np.int32)
+    m[2:5, 2:5] = 1          # area 9
+    m[10:12, 10:14] = 1      # area 8
+    cam = np.ones((16, 16), np.float32) * 0.5
+    lab = cc.label_jax(jnp.asarray(m), num_iters=40)
+    areas, masses, comp = cc.component_stats(lab, jnp.asarray(cam),
+                                             max_components=8)
+    areas = np.asarray(areas)
+    nz = np.sort(areas[areas > 0])
+    np.testing.assert_array_equal(nz, [8.0, 9.0])
+    np.testing.assert_allclose(np.asarray(masses).sum(), 17 * 0.5, rtol=1e-6)
+
+
+# ------------------------------------------------------------------- crf
+def _dense_gaussian_oracle(img, segs, sigma_rgb, sigma_xy):
+    """O(P^2) numpy bilateral filter, the exact kernel the reference's
+    permutohedral lattice approximates."""
+    h, w, _ = img.shape
+    k = segs.shape[-1]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    feats = [xs.ravel() / sigma_xy, ys.ravel() / sigma_xy] if sigma_xy else []
+    feats += [img[..., c].ravel() / sigma_rgb for c in range(3)]
+    f = np.stack(feats, axis=1)
+    d2 = ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1)
+    wgt = np.exp(-0.5 * d2)
+    return (wgt @ segs.reshape(h * w, k)).reshape(h, w, k)
+
+
+def test_bilateral_filter_matches_dense_oracle(rng):
+    img = (rng.random((1, 9, 11, 3)) * 255).astype(np.float32)
+    segs = rng.random((1, 9, 11, 2)).astype(np.float32)
+    got = np.asarray(crf_ops.bilateral_filter_batch(
+        jnp.asarray(img), jnp.asarray(segs), 15.0, 100.0, row_block=16))
+    want = _dense_gaussian_oracle(img[0], segs[0], 15.0, 100.0)
+    np.testing.assert_allclose(got[0], want, rtol=2e-4, atol=2e-4)
+
+
+def test_color_crf_matches_dense_oracle(rng):
+    img = (rng.random((1, 6, 8, 3)) * 255).astype(np.float32)
+    segs = rng.random((1, 6, 8, 2)).astype(np.float32)
+    got = np.asarray(crf_ops.bilateral_filter_batch(
+        jnp.asarray(img), jnp.asarray(segs), 15.0, None, row_block=8))
+    want = _dense_gaussian_oracle(img[0], segs[0], 15.0, None)
+    np.testing.assert_allclose(got[0], want, rtol=2e-4, atol=2e-4)
+
+
+def test_crf_loss_custom_grad(rng):
+    """Backward must be -2*AS/N with AS constant (reference
+    dense_crf_loss.py:70-74), NOT the true gradient."""
+    img = jnp.asarray((rng.random((2, 6, 6, 3)) * 255).astype(np.float32))
+    segs = jnp.asarray(rng.random((2, 6, 6, 2)).astype(np.float32))
+    loss, grad = jax.value_and_grad(
+        lambda s: crf_ops.dense_crf_loss(img, s, 15.0, 100.0))(segs)
+    as_ = crf_ops.bilateral_filter_batch(img, segs, 15.0, 100.0)
+    np.testing.assert_allclose(np.asarray(loss),
+                               -np.sum(np.asarray(segs) * np.asarray(as_)) / 2,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), -2 * np.asarray(as_) / 2,
+                               rtol=1e-5)
+
+
+def test_native_bilateral_grid_tracks_dense_oracle(rng):
+    """The C++ bilateral-grid filter is an approximation (like the
+    reference's permutohedral lattice): check strong correlation with the
+    exact dense kernel up to its global scale."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    from tcam_wsol_video_tpu.ops.native import \
+        bilateral_filter_batch_native
+    img = (rng.random((1, 20, 24, 3)) * 255).astype(np.float32)
+    segs = rng.random((1, 20, 24, 2)).astype(np.float32)
+    got = bilateral_filter_batch_native(img, segs, 15.0, 100.0)
+    want = _dense_gaussian_oracle(img[0], segs[0], 15.0, 100.0)
+    cc = np.corrcoef(got[0].ravel(), want.ravel())[0, 1]
+    assert cc > 0.9, cc
