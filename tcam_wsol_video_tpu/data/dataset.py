@@ -89,7 +89,11 @@ class WSOLVideoDataset:
         first = os.path.join(self.data_root, self.md.image_ids[0])
         if os.path.isdir(first):
             return constants.DS_SHOTS
-        return constants.DS_FRAMES
+        if os.path.isfile(first):
+            return constants.DS_FRAMES
+        raise FileNotFoundError(
+            f"dataset id {self.md.image_ids[0]!r} resolves to neither a "
+            f"shot dir nor a frame under {self.data_root!r}")
 
     def _index_frames(self) -> None:
         for shot in self.md.image_ids:

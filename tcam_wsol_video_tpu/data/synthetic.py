@@ -96,4 +96,9 @@ def make_synthetic_dataset(root: str, n_classes: int = 3,
     with open(os.path.join(meta_root, "class_id.yaml"), "w") as f:
         f.write("{" + ", ".join(f"{c}: {i}" for i, c in enumerate(classes))
                 + "}\n")
-    return {"data_root": data_root, "metadata_root": meta_root}
+    # alias so `<parent>/<dataset-name>` resolves like a real install
+    alias = os.path.join(root, "YouTube-Objects-v1.0")
+    if not os.path.exists(alias):
+        os.symlink(data_root, alias)
+    return {"data_root": data_root, "metadata_root": meta_root,
+            "parent": root}

@@ -46,21 +46,56 @@ def _apply_model(model, params, batch_stats, images, train, key=None):
 
 
 def make_train_step(model, master_loss: MasterLoss, optimizer, args,
-                    seeder_cfg: Optional[TCAMSeederCfg] = None):
-    """Returns train_step(state, batch, switches, key, seed_tech_weighted)
-    -> (new_state, metrics dict).
+                    seeder_cfg: Optional[TCAMSeederCfg] = None,
+                    student_seed_source: bool = False):
+    """Returns train_step(state, batch, switches, key, seed_tech_weighted
+    [, student_params, student_bstats]) -> (new_state, metrics dict).
 
     batch: image (B,H,W,3) normalized, label (B,), raw_img (B,H,W,3),
     std_cam (B,H,W), roi (B,H,W), msk_bbox (B,H,W), fg_size placeholder,
     valid (B,) — clip-major when knn_tc > 0.
+
+    student_seed_source=True builds the epoch-switch variant (reference
+    sl_tc_epoch_switch_to_sl, train_wsol.py:758-843): seed CAMs come from
+    the best-so-far student's FCAMs instead of the stored classifier CAMs,
+    with ROI/bbox re-extracted (ROI_LARGEST) and fg_size re-estimated,
+    all on device.
     """
     task = args.task
     needs_seeds = task in (constants.F_CL, constants.TCAM) and (
         args.sl_tc or args.sl_fc)
 
+    def _student_seed_inputs(student_params, student_bstats, images, key):
+        """Best-student FCAM -> (cams_inter, roi, msk_bbox, fg_size)."""
+        from tcam_wsol_video_tpu.cams.roi import roi_batch
+        out, _ = _apply_model(model, student_params, student_bstats,
+                              images, train=False)
+        cams = ex.seg_cam(out["fcams"], argmax=False)          # (B, H, W)
+        cams = jax.lax.stop_gradient(
+            jnp.nan_to_num(cams, nan=0.0, posinf=1.0, neginf=0.0))
+        cams = ex.normalize_minmax(cams)
+        cams = jnp.nan_to_num(cams, nan=0.0)
+        roi, msk_bbox, _boxes = roi_batch(
+            cams, roi_method=constants.ROI_LARGEST,
+            p_min_area_roi=args.sl_tc_roi_min_size)
+        h, w = cams.shape[-2:]
+        fg_size = jnp.sum((cams * roi).reshape(cams.shape[0], -1),
+                          axis=-1) / float(h * w)
+        return cams, roi, msk_bbox, fg_size
+
     def train_step(state: TrainState, batch, switches, key,
-                   seed_weighted: jax.Array):
+                   seed_weighted: jax.Array,
+                   student_params=None, student_bstats=None):
         k_seed, k_drop = jax.random.split(key)
+
+        if student_seed_source:
+            cams_sw, roi_sw, msk_bbox_sw, fg_size_sw = _student_seed_inputs(
+                student_params, student_bstats, batch["image"], key)
+            batch = dict(batch)
+            batch["std_cam"] = cams_sw
+            batch["roi"] = roi_sw
+            batch["msk_bbox"] = msk_bbox_sw
+            batch["fg_size"] = fg_size_sw
 
         seeds = None
         if needs_seeds:

