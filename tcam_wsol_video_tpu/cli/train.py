@@ -107,8 +107,28 @@ def main(argv=None) -> Dict:
                                           (1, c, c, 3)))
     variables = load_pretrained_classifier_weights(args, variables)
 
+    # C_BOX trains against a frozen stage-1 classifier (reference
+    # main.py:61-70 get_pretrainde_classifier)
+    classifier = None
+    if args.task == constants.C_BOX:
+        from tcam_wsol_video_tpu.models.factory import init_model as _im
+        cls_model = create_model_from_args(
+            args, override_arch_for_classifier=True)
+        cls_vars = jax.device_get(_im(cls_model, kc.key("cls"),
+                                      (1, c, c, 3)))
+        if args.folder_pre_trained_cl:
+            chpt = os.path.join(args.folder_pre_trained_cl,
+                                args.tcam_pretrained_seeder_ch_pt)
+            step, payload = ckpt.load_best_model(
+                chpt if os.path.isdir(chpt) else args.folder_pre_trained_cl)
+            assert payload is not None
+            cls_vars = ckpt.merge_components_into_variables(
+                cls_vars, payload["components"],
+                only=["encoder", "classification_head"])
+        classifier = (cls_model, cls_vars)
+
     trainer = Trainer(args, model, train_pipe, eval_pipes, keychain=kc,
-                      init_variables=variables)
+                      init_variables=variables, classifier=classifier)
     results = trainer.fit()
     log({"final": {k: {m: v for m, v in r.items()
                        if isinstance(v, (int, float))}

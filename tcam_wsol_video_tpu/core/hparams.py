@@ -249,6 +249,9 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "cb_box_bounds": False,
         "cb_box_bounds_lambda": 1.0,
         "cb_scale_domain": 1.0,
+        "cb_pp_box_min_size": 0.05,   # min box area fraction before the
+                                      # pre-forward re-randomizes it
+        "cb_area_normed": False,
         "freeze_encoder": False,
 
         # --------------------------------------------------- parallelism

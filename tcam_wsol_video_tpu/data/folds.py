@@ -76,6 +76,21 @@ def load_class_ids(metadata_root: str) -> Dict[str, int]:
         return yaml.safe_load(f)
 
 
+def load_gt_mask(md: SplitMetadata, mask_root: str, image_id: str,
+                 size: int) -> np.ndarray:
+    """Union of the GT masks of one image resized to (size, size) —
+    OpenImages PxAP path (reference load_mask_image + get_mask,
+    /root/reference/dlib/metrics/wsol_metrics.py:435-482)."""
+    from PIL import Image
+    out = np.zeros((size, size), np.float32)
+    for rel in md.mask_paths.get(image_id, []):
+        m = Image.open(os.path.join(mask_root, rel)).convert("L")
+        m = m.resize((size, size), Image.NEAREST)
+        out = np.maximum(out, (np.asarray(m, np.float32) > 127).astype(
+            np.float32))
+    return out
+
+
 def resized_gt_boxes(md: SplitMetadata, image_id: str,
                      crop_size: int) -> np.ndarray:
     """GT boxes scaled from the original image size to crop_size

@@ -30,10 +30,12 @@ def cam_threshold_list(interval: float) -> np.ndarray:
     return np.arange(0.0, 1.0, interval)
 
 
+
+
 class CamEvaluator:
     def __init__(self, model, args, dataset, pipeline, split: str,
                  fast: bool = False, on_device: bool = False,
-                 max_gt_boxes: int = 8):
+                 max_gt_boxes: int = 8, classifier=None):
         self.model = model
         self.args = args
         self.ds = dataset
@@ -46,7 +48,42 @@ class CamEvaluator:
         self.taus = cam_threshold_list(interval)
         self.on_device = on_device
         self.max_gt_boxes = max_gt_boxes
-        self.eval_step = make_cam_eval_step(model, args)
+        self.classifier = classifier
+        if args.task == constants.C_BOX:
+            assert classifier is not None, "C_BOX eval needs the classifier"
+            from tcam_wsol_video_tpu.engine.cbox_steps import \
+                make_cbox_eval_step
+            self.eval_step = make_cbox_eval_step(model, classifier[0], args)
+        else:
+            self.eval_step = make_cam_eval_step(model, args)
+
+    def _run_mask_eval(self, params, bstats, key) -> Dict[str, float]:
+        from tcam_wsol_video_tpu.data.folds import load_gt_mask
+        from tcam_wsol_video_tpu.metrics.wsol import MaskEvaluator
+        ev = MaskEvaluator(list(self.taus))
+        n_correct, n_total = 0, 0
+        for batch in self.pipe.epoch(0):
+            images = jnp.asarray(batch["image"])
+            targets = jnp.asarray(batch["label"])
+            cams, logits = self.eval_step(params, bstats, images, targets,
+                                          key)
+            cams_np = np.asarray(cams)
+            preds = np.argsort(-np.asarray(logits), axis=-1, kind="stable")
+            valid = batch["valid"]
+            n_correct += int(((preds[:, 0] == batch["label"]) & valid).sum())
+            n_total += int(valid.sum())
+            for i, iid in enumerate(batch["image_id"]):
+                if not valid[i]:
+                    continue
+                mask = load_gt_mask(self.ds.md, self.ds.data_root, iid,
+                                    self.args.crop_size)
+                ev.accumulate(cams_np[i], mask)
+        return {
+            "pxap": ev.compute(),
+            "localization": ev.compute(),
+            "classification": 100.0 * n_correct / max(n_total, 1),
+            "n_images": n_total,
+        }
 
     def _gt_batch(self, image_ids):
         g = self.max_gt_boxes
@@ -62,6 +99,13 @@ class CamEvaluator:
         params = variables["params"]
         bstats = variables.get("batch_stats", {})
 
+        # OpenImages evaluates PxAP against pixel masks instead of boxes
+        # (reference MaskEvaluator, wsol_metrics.py:484-584)
+        use_masks = (self.args.dataset == constants.OpenImages
+                     and self.ds.md.mask_paths)
+        if use_masks:
+            return self._run_mask_eval(params, bstats, key)
+
         evaluator = BoxEvaluator(self.taus,
                                  self.args.iou_threshold_list,
                                  multi_contour_eval=(
@@ -75,11 +119,19 @@ class CamEvaluator:
         n_correct_cl = 0
         n_total = 0
 
+        is_cbox = self.args.task == constants.C_BOX
         for batch in self.pipe.epoch(0):
             images = jnp.asarray(batch["image"])
             targets = jnp.asarray(batch["label"])
-            cams, logits = self.eval_step(params, bstats, images, targets,
-                                          key)
+            if is_cbox:
+                cls_vars = self.classifier[1]
+                boxes, box_valid, logits = self.eval_step(
+                    params, bstats, cls_vars["params"],
+                    cls_vars.get("batch_stats", {}), images)
+                cams = None
+            else:
+                cams, logits = self.eval_step(params, bstats, images,
+                                              targets, key)
             valid = batch["valid"]
             logits_np = np.asarray(logits)
             preds = np.argsort(-logits_np, axis=-1, kind="stable")
@@ -88,6 +140,18 @@ class CamEvaluator:
             n_total += int(valid.sum())
 
             gt_boxes, gt_valid = self._gt_batch(batch["image_id"])
+            if is_cbox:
+                boxes_np = np.asarray(boxes)
+                bv = np.asarray(box_valid)
+                for i in range(boxes_np.shape[0]):
+                    if not valid[i]:
+                        continue
+                    evaluator.accumulate(
+                        None, gt_boxes[i][gt_valid[i]],
+                        int(batch["label"][i]), preds[i],
+                        bbox=boxes_np[i].tolist(),
+                        bbox_status=int(bv[i]))
+                continue
             if self.on_device:
                 gt_valid_dev = jnp.asarray(gt_valid & valid[:, None])
                 c = device_eval.batch_counters(
@@ -123,6 +187,7 @@ class CamEvaluator:
             out["best_tau"] = evaluator.best_tau_list
             out["curves"] = evaluator.curves
 
+        out["n_images"] = n_total
         # aggregate localization score (reference train_wsol.py:1515-1522)
         accs_only = [out[f"maxboxacc_{s}"]
                      for s in self.args.iou_threshold_list]

@@ -61,8 +61,11 @@ class PerformanceMeter:
 
 class Trainer:
     def __init__(self, args, model, train_pipe, eval_pipes: Dict[str, tuple],
-                 keychain: Optional[KeyChain] = None, init_variables=None):
-        """eval_pipes: {split: (dataset, pipeline)}."""
+                 keychain: Optional[KeyChain] = None, init_variables=None,
+                 classifier=None):
+        """eval_pipes: {split: (dataset, pipeline)}.
+        classifier: (model, variables) frozen stage-1 classifier — required
+        for C_BOX (box scoring, reference train_wsol.py:884-906)."""
         self.args = args
         self.model = model
         self.train_pipe = train_pipe
@@ -83,7 +86,21 @@ class Trainer:
         self.state = TrainState.create(init_variables, opt_state,
                                        elb_init_t=args.elb_init_t)
 
+        self.classifier = classifier
         seeder_cfg = None
+        if args.task == constants.C_BOX:
+            assert classifier is not None, "C_BOX needs a frozen classifier"
+            from tcam_wsol_video_tpu.cams.seeding import FCAMSeederCfg
+            from tcam_wsol_video_tpu.engine.cbox_steps import \
+                make_cbox_train_step
+            cbox_seeder = FCAMSeederCfg(
+                min_=args.sl_min, max_=args.sl_max, min_p=args.sl_min_p,
+                fg_erode_k=args.sl_fg_erode_k,
+                fg_erode_iter=args.sl_fg_erode_iter, ksz=args.sl_ksz,
+                seg_ignore_idx=args.seg_ignore_idx)
+            self.train_step = make_cbox_train_step(
+                model, classifier[0], self.master_loss, self.optimizer,
+                args, cbox_seeder)
         if args.task in (constants.TCAM, constants.F_CL):
             seeder_cfg = TCAMSeederCfg(
                 seed_tech=args.sl_tc_seed_tech, min_=args.sl_tc_min,
@@ -92,8 +109,10 @@ class Trainer:
                 fg_erode_iter=args.sl_tc_fg_erode_iter, ksz=args.sl_tc_ksz,
                 seg_ignore_idx=args.seg_ignore_idx,
                 use_roi=args.sl_tc_use_roi)
-        self.train_step = make_train_step(model, self.master_loss,
-                                          self.optimizer, args, seeder_cfg)
+        if args.task != constants.C_BOX:
+            self.train_step = make_train_step(model, self.master_loss,
+                                              self.optimizer, args,
+                                              seeder_cfg)
         self._seeder_cfg = seeder_cfg
         self._student_step = None  # built lazily at the epoch switch
 
@@ -158,7 +177,12 @@ class Trainer:
             key = self.kc.key("train", epoch, i)
             dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
                          if k != "image_id"}
-            if use_student:
+            if args.task == constants.C_BOX:
+                cls_model, cls_vars = self.classifier
+                self.state, metrics = self.train_step(
+                    self.state, dev_batch, switches, key,
+                    cls_vars["params"], cls_vars.get("batch_stats", {}))
+            elif use_student:
                 self.state, metrics = self._student_step(
                     self.state, dev_batch, switches, key, seed_weighted,
                     s_params, s_bstats)
@@ -199,10 +223,10 @@ class Trainer:
         ev = CamEvaluator(self.model, self.args, ds, pipe, split,
                           fast=self.args.fast_eval,
                           on_device=(self.args.on_device_eval
-                                     if on_device is None else on_device))
+                                     if on_device is None else on_device),
+                          classifier=self.classifier)
         res = ev.run(self.state.variables(), self.kc.key("eval", split,
                                                          epoch))
-        res.pop("curves", None)
         log({"split": split, "epoch": epoch,
              **{k: v for k, v in res.items()
                 if isinstance(v, (int, float))}})
@@ -237,13 +261,67 @@ class Trainer:
             return int(np.asarray(restored.epoch)) + 1
         return 0
 
+    # ------------------------------------------------------- observability
+    def dump_performances(self) -> None:
+        """Persist meter histories + plots (reference save_performances +
+        plot_perfs_meter, train_wsol.py:1327-1356, 1856-1932)."""
+        import pickle
+        hist = {k: m.history for k, m in self.meters.items()}
+        best = {k: {"value": m.best_value, "epoch": m.best_epoch}
+                for k, m in self.meters.items()}
+        with open(os.path.join(self.outd, "performances.pkl"), "wb") as f:
+            pickle.dump({"history": hist, "best": best}, f)
+        with open(os.path.join(self.outd, "performances.txt"), "w") as f:
+            for k, m in self.meters.items():
+                f.write(f"{k}: best={m.best_value} @ep{m.best_epoch} "
+                        f"history={m.history}\n")
+        try:
+            from tcam_wsol_video_tpu.viz.wsol_viz import plot_meter_curves
+            plot_meter_curves(hist, os.path.join(self.outd,
+                                                 "performances.png"))
+        except Exception:  # headless plotting must never kill training
+            pass
+
+    def dump_eval_artifacts(self, split: str, res: Dict) -> None:
+        """BoxAcc-vs-tau curves + best-tau yaml (reference
+        train_wsol.py:1541-1576)."""
+        import yaml
+        if "best_tau" in res:
+            with open(os.path.join(self.outd, f"best_tau_{split}.yaml"),
+                      "w") as f:
+                yaml.safe_dump(
+                    {"iou_thresholds": self.args.iou_threshold_list,
+                     "best_tau": res["best_tau"]}, f)
+        curves = res.get("curves")
+        if curves:
+            try:
+                from tcam_wsol_video_tpu.viz.wsol_viz import \
+                    plot_boxacc_curves
+                plot_boxacc_curves(curves["x"], curves,
+                                   os.path.join(self.outd,
+                                                f"boxacc_{split}.png"))
+            except Exception:
+                pass
+
+    def maybe_profile(self, epoch: int):
+        """jax.profiler trace of one training epoch when TCAM_TPU_PROFILE
+        is set (the tracing counterpart of the reference's ad-hoc CUDA
+        timing, SURVEY.md §5)."""
+        import contextlib
+        prof_dir = os.environ.get("TCAM_TPU_PROFILE", "")
+        if prof_dir and epoch == 1:
+            import jax.profiler
+            return jax.profiler.trace(prof_dir)
+        return contextlib.nullcontext()
+
     # ---------------------------------------------------------------- fit
     def fit(self) -> Dict[str, Dict[str, float]]:
         start = self.load_checkpoint_if_any()
         val0 = self.evaluate(start, constants.VALIDSET)
         self.model_selection(start, val0)
         for epoch in range(start, self.args.max_epochs):
-            self.train_epoch(epoch)
+            with self.maybe_profile(epoch):
+                self.train_epoch(epoch)
             val = self.evaluate(epoch, constants.VALIDSET)
             self.model_selection(epoch, val)
         # final test at both best checkpoints (reference main.py:124-160)
@@ -256,7 +334,9 @@ class Trainer:
             self.state = self.state.replace(
                 params=variables["params"],
                 batch_stats=variables.get("batch_stats", {}))
-            results[tag] = self.evaluate(self.args.max_epochs,
-                                         constants.TESTSET)
+            res = self.evaluate(self.args.max_epochs, constants.TESTSET)
+            self.dump_eval_artifacts(f"test_{tag}", res)
+            results[tag] = res
             self.state = saved
+        self.dump_performances()
         return results
