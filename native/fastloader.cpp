@@ -1,0 +1,159 @@
+// Native data loader: multi-threaded JPEG decode + bilinear resize +
+// crop/flip + ImageNet normalization, producing ready-to-upload float32
+// batches.
+//
+// Role: the runtime-IO counterpart of the reference's torch DataLoader
+// worker pool (/root/reference/dlib/datasets/wsol_loader.py:988-1034).
+// Python/PIL decoding is the host bottleneck feeding the TPU; this
+// OpenMP pipeline decodes a whole batch in parallel and writes directly
+// into pinned numpy buffers.
+//
+// Exposed C ABI (ctypes):
+//   int load_batch(const char** paths, int n,
+//                  int resize_h, int resize_w,   // pre-crop resize
+//                  int crop,                     // output crop size
+//                  const int* xs, const int* ys, // crop offsets per image
+//                  const unsigned char* flips,   // hflip flag per image
+//                  float* out_norm,              // n*crop*crop*3 normalized
+//                  float* out_raw);              // n*crop*crop*3 [0,255]
+// Returns 0 on success, else the (1-based) index of the first image that
+// failed to decode.
+//
+// Resize is half-pixel-center bilinear (torch convention, no antialias);
+// for eval pass resize == crop and xs/ys zero.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC fastloader.cpp \
+//            -ljpeg -o libfastloader.so
+
+#include <csetjmp>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+constexpr float kMean[3] = {0.485f, 0.456f, 0.406f};
+constexpr float kStd[3] = {0.229f, 0.224f, 0.225f};
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+void on_jpeg_error(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb,
+                 int& w, int& h) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = on_jpeg_error;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  w = cinfo.output_width;
+  h = cinfo.output_height;
+  rgb.resize(static_cast<size_t>(w) * h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char* row = rgb.data() +
+        static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return true;
+}
+
+// half-pixel-center bilinear resize, u8 RGB -> f32 RGB
+void resize_bilinear(const unsigned char* src, int sh, int sw,
+                     float* dst, int dh, int dw) {
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sh / dh - 0.5f;
+    fy = fy < 0 ? 0 : (fy > sh - 1 ? sh - 1 : fy);
+    int y0 = static_cast<int>(fy);
+    int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
+    float wy = fy - y0;
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sw / dw - 0.5f;
+      fx = fx < 0 ? 0 : (fx > sw - 1 ? sw - 1 : fx);
+      int x0 = static_cast<int>(fx);
+      int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
+      float wx = fx - x0;
+      for (int c = 0; c < 3; ++c) {
+        float v00 = src[(static_cast<size_t>(y0) * sw + x0) * 3 + c];
+        float v01 = src[(static_cast<size_t>(y0) * sw + x1) * 3 + c];
+        float v10 = src[(static_cast<size_t>(y1) * sw + x0) * 3 + c];
+        float v11 = src[(static_cast<size_t>(y1) * sw + x1) * 3 + c];
+        float top = v00 + (v01 - v00) * wx;
+        float bot = v10 + (v11 - v10) * wx;
+        dst[(static_cast<size_t>(y) * dw + x) * 3 + c] =
+            top + (bot - top) * wy;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int load_batch(const char** paths, int n, int resize_h, int resize_w,
+               int crop, const int* xs, const int* ys,
+               const unsigned char* flips, float* out_norm,
+               float* out_raw) {
+  int failed = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int i = 0; i < n; ++i) {
+    if (failed) continue;
+    std::vector<unsigned char> rgb;
+    int w = 0, h = 0;
+    if (!decode_jpeg(paths[i], rgb, w, h)) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      { if (!failed) failed = i + 1; }
+      continue;
+    }
+    std::vector<float> resized(static_cast<size_t>(resize_h) * resize_w * 3);
+    resize_bilinear(rgb.data(), h, w, resized.data(), resize_h, resize_w);
+
+    const int x0 = xs ? xs[i] : 0;
+    const int y0 = ys ? ys[i] : 0;
+    const bool flip = flips && flips[i];
+    float* raw = out_raw + static_cast<size_t>(i) * crop * crop * 3;
+    float* nrm = out_norm + static_cast<size_t>(i) * crop * crop * 3;
+    for (int y = 0; y < crop; ++y) {
+      const float* srow =
+          resized.data() + (static_cast<size_t>(y + y0) * resize_w + x0) * 3;
+      for (int x = 0; x < crop; ++x) {
+        const int sx = flip ? (crop - 1 - x) : x;
+        for (int c = 0; c < 3; ++c) {
+          float v = srow[static_cast<size_t>(sx) * 3 + c];
+          raw[(static_cast<size_t>(y) * crop + x) * 3 + c] = v;
+          nrm[(static_cast<size_t>(y) * crop + x) * 3 + c] =
+              (v / 255.0f - kMean[c]) / kStd[c];
+        }
+      }
+    }
+  }
+  return failed;
+}
+
+}  // extern "C"

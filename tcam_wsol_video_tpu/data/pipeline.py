@@ -101,12 +101,70 @@ class DataPipeline:
             return n // clips_per_batch
         return -(-n // clips_per_batch)
 
+    def _native_fast_path_ok(self) -> bool:
+        """The C++ batch loader covers plain frames without CAM pairing:
+        eval splits and CAM-less training."""
+        from tcam_wsol_video_tpu.data import native_loader
+        return (self.ds.cam_store is None and not self.ds.use_roi
+                and self.ds.knn_tc == 0 and native_loader.available())
+
+    def _epoch_native(self, epoch: int, idxs: np.ndarray,
+                      target: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Batched native decode (fastloader.cpp): resolves this epoch's
+        frame ids + augmentation params on the host, decodes each batch in
+        one OpenMP call."""
+        from tcam_wsol_video_tpu.data import native_loader
+        ds = self.ds
+        c = ds.crop_size
+        r = ds.transform.resize_size if ds.transform.train else c
+        for s in range(0, len(idxs), self.batch_size):
+            chunk = idxs[s:s + self.batch_size]
+            fids, labels, xs, ys, flips = [], [], [], [], []
+            for idx in chunk:
+                fid = ds.sample_ids(int(idx))[0]
+                fids.append(fid)
+                labels.append(ds.md.labels[ds.md.image_ids[int(idx)]])
+                if ds.transform.train:
+                    rng = ds.kc.numpy_rng("aug", ds.split, epoch,
+                                          int(idx), 0)
+                    ys.append(int(rng.integers(0, r - c + 1)))
+                    xs.append(int(rng.integers(0, r - c + 1)))
+                    flips.append(int(rng.random() < ds.transform.hflip_p))
+                else:
+                    ys.append(0)
+                    xs.append(0)
+                    flips.append(0)
+            paths = [f"{ds.data_root}/{f}" for f in fids]
+            norm, raw = native_loader.load_batch(
+                paths, resize=r, crop=c, xs=np.asarray(xs),
+                ys=np.asarray(ys), flips=np.asarray(flips))
+            n = len(fids)
+            batch = {
+                "image": norm,
+                "label": np.asarray(labels, np.int32),
+                "raw_img": raw,
+                "std_cam": np.zeros((n, c, c), np.float32),
+                "has_cam": np.zeros((n,), np.float32),
+                "seq_iter": chunk.astype(np.float32),
+                "frm_iter": np.zeros((n,), np.float32),
+                "roi": np.zeros((n, c, c), np.int32),
+                "msk_bbox": np.ones((n, c, c), np.float32),
+                "image_id": fids,
+            }
+            if self.drop_remainder and n < self.batch_size:
+                return
+            yield pad_batch_by_tiling(batch, target, 1)
+
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         """Yields batches of batch_size*clip_len frames (clip-major)."""
         self.ds.set_epoch(epoch)
         idxs = self._epoch_indices(epoch)
         clip_len = self.ds.clip_len
         target = self.batch_size * clip_len
+
+        if self._native_fast_path_ok():
+            yield from self._epoch_native(epoch, idxs, target)
+            return
 
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             fetched = pool.map(self.ds.get_item, idxs, chunksize=4)

@@ -169,3 +169,37 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 84
     assert float(restored.elb_t) == 1.5
     assert len([f for f in os.listdir(folder) if "checkpoint" in f]) == 1
+
+
+def test_native_loader_matches_python_path(synth):
+    """C++ fastloader vs the PIL pipeline: same crop/flip geometry, close
+    pixel values (different resize filters: half-pixel bilinear vs PIL)."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    from tcam_wsol_video_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+    from PIL import Image
+    from tcam_wsol_video_tpu.data.transforms import normalize_imagenet
+
+    md = load_split_metadata(synth["metadata_root"], "test")
+    paths = [os.path.join(synth["data_root"], i) for i in md.image_ids[:4]]
+    xs = np.asarray([0, 2, 4, 1])
+    ys = np.asarray([1, 0, 3, 2])
+    flips = np.asarray([0, 1, 0, 1])
+    norm, raw = native_loader.load_batch(paths, resize=40, crop=32,
+                                         xs=xs, ys=ys, flips=flips)
+    assert norm.shape == (4, 32, 32, 3) and raw.shape == (4, 32, 32, 3)
+    assert raw.min() >= 0 and raw.max() <= 255
+
+    for i, p in enumerate(paths):
+        img = Image.open(p).convert("RGB").resize((40, 40), Image.BILINEAR)
+        arr = np.asarray(img, np.float32)[ys[i]:ys[i] + 32,
+                                          xs[i]:xs[i] + 32]
+        if flips[i]:
+            arr = arr[:, ::-1]
+        # different resize filters: compare loosely but meaningfully
+        assert np.abs(raw[i] - arr).mean() < 8.0, i
+        np.testing.assert_allclose(
+            norm[i], normalize_imagenet(raw[i] / 255.0), atol=1e-5)
