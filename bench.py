@@ -53,6 +53,12 @@ def main() -> None:
                            (1, crop, crop, 3))
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
+    if on_tpu:
+        # inference: pre-cast weights once instead of per-call f32->bf16
+        # casts inside the program (saves an HBM read per layer)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
 
     eval_step = make_cam_eval_step(model, args)
 
@@ -62,20 +68,23 @@ def main() -> None:
     targets = jnp.asarray(rng.integers(0, args.num_classes, (batch,)))
     key = jax.random.PRNGKey(0)
 
-    # warmup/compile
-    cams, logits = eval_step(params, bstats, images, targets, key)
-    jax.block_until_ready(cams)
+    # all iterations inside ONE jitted fori_loop with a data-dependent
+    # carry, timed by a host READBACK of the result: on the remote TPU
+    # backend block_until_ready does not reliably wait, and per-call
+    # dispatch timing measures nothing (verified: time scales with iters
+    # only under readback)
+    @jax.jit
+    def timed_loop(params, bstats, images, targets, key):
+        def body(_, carry_imgs):
+            cams, _ = eval_step(params, bstats, carry_imgs, targets, key)
+            return carry_imgs + jnp.mean(cams) * 1e-12
+        return jax.lax.fori_loop(0, iters, body, images)
 
-    # chain a data dependency through the loop: remote/async dispatch can
-    # otherwise overlap or reorder independent launches and the wall time
-    # measures only dispatch
+    _ = np.asarray(timed_loop(params, bstats, images, targets,
+                              key)[0, 0, 0])  # compile + settle
     t0 = time.perf_counter()
-    carry = jnp.float32(0.0)
-    for _ in range(iters):
-        cams, logits = eval_step(params, bstats, images + carry * 0.0,
-                                 targets, key)
-        carry = cams[0, 0, 0]
-    jax.block_until_ready(carry)
+    _ = np.asarray(timed_loop(params, bstats, images, targets,
+                              key)[0, 0, 0])
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
