@@ -32,6 +32,21 @@ from tcam_wsol_video_tpu.models.factory import create_model_from_args
 from tcam_wsol_video_tpu.parallel import mesh as pmesh
 
 
+def _snapshot_code(outd: str) -> None:
+    """Archive the framework source into the experiment dir so every run
+    is reproducible from its own folder (reference copy_code,
+    parseit.py:1200-1215)."""
+    import tarfile
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with tarfile.open(os.path.join(outd, "code.tar.gz"), "w:gz") as tar:
+            tar.add(pkg_dir, arcname="tcam_wsol_video_tpu",
+                    filter=lambda ti: None if "__pycache__" in ti.name
+                    else ti)
+    except Exception:
+        pass  # snapshotting must never block training
+
+
 def build_data(args: HParams, kc: KeyChain):
     meta_root = args.metadata_root
     data_root = os.path.join(args.data_root, args.dataset)
@@ -95,6 +110,7 @@ def main(argv=None) -> Dict:
     os.makedirs(outd, exist_ok=True)
     init_logger(outd, is_master=jax.process_index() == 0)
     dump_config(args, os.path.join(outd, "config.yml"))
+    _snapshot_code(outd)
     log(f"experiment {args.tag} digest {args.digest}")
 
     kc = KeyChain(args.seed)
@@ -133,6 +149,10 @@ def main(argv=None) -> Dict:
     log({"final": {k: {m: v for m, v in r.items()
                        if isinstance(v, (int, float))}
                    for k, r in results.items()}})
+    # experiment-done sentinel (reference `passed.txt`, parseit.py:669-680)
+    if jax.process_index() == 0:
+        with open(os.path.join(outd, "passed.txt"), "w") as f:
+            f.write("done\n")
     return results
 
 

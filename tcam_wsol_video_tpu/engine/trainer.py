@@ -205,6 +205,9 @@ class Trainer:
         self.state = self.state.replace(
             elb_t=update_t(self.state.elb_t, args.elb_mulcoef,
                            args.elb_max_t))
+        if args.plot_progress:
+            self._plot_progress(epoch)
+
         out = {
             "loss": tot_loss / max(1, self.train_pipe.steps_per_epoch()),
             "classification": 100.0 * n_corr / max(1, n),
@@ -262,6 +265,31 @@ class Trainer:
         return 0
 
     # ------------------------------------------------------- observability
+    def _plot_progress(self, epoch: int) -> None:
+        """Per-epoch CAM overlays of fixed train frames (reference
+        vision_progress.py:151, hooked at train_wsol.py:1047-1056)."""
+        try:
+            from tcam_wsol_video_tpu.engine.steps import make_cam_eval_step
+            from tcam_wsol_video_tpu.viz.wsol_viz import plot_progress_grid
+            if not hasattr(self, "_progress_items"):
+                ds = self.train_pipe.ds
+                n = min(4, len(ds))
+                self._progress_items = [ds.get_item(i)[0] for i in range(n)]
+                self._progress_step = make_cam_eval_step(self.model,
+                                                         self.args)
+            items = self._progress_items
+            imgs = jnp.asarray(np.stack([it["image"] for it in items]))
+            labels = jnp.asarray([int(it["label"]) for it in items])
+            cams, _ = self._progress_step(
+                self.state.params, self.state.batch_stats, imgs, labels,
+                self.kc.key("progress", epoch))
+            plot_progress_grid(
+                [it["raw_img"] for it in items], list(np.asarray(cams)),
+                os.path.join(self.outd, "progress",
+                             f"epoch_{epoch:04d}.png"), epoch)
+        except Exception as e:  # plotting never kills training
+            log(f"progress plot failed: {e}")
+
     def dump_performances(self) -> None:
         """Persist meter histories + plots (reference save_performances +
         plot_perfs_meter, train_wsol.py:1327-1356, 1856-1932)."""

@@ -102,7 +102,7 @@ def test_std_cl_train_and_eval_e2e(synth):
     from tcam_wsol_video_tpu.engine.trainer import Trainer
     from tcam_wsol_video_tpu.models.factory import create_model_from_args
 
-    args = _small_args(max_epochs=6, lr=0.1)
+    args = _small_args(max_epochs=6, lr=0.1, plot_progress=True)
     kc = KeyChain(0)
     md_tr = load_split_metadata(synth["metadata_root"], "train")
     ds_tr = WSOLVideoDataset(md_tr, synth["data_root"], "train", C.YTOV1,
@@ -137,6 +137,9 @@ def test_std_cl_train_and_eval_e2e(synth):
 
     trainer.model_selection(args.max_epochs - 1, res)
     assert trainer.best_loc_variables is not None
+    # progress CAM grids were written every epoch
+    prog = os.path.join(trainer.outd, "progress")
+    assert os.path.isdir(prog) and len(os.listdir(prog)) == args.max_epochs
     # best-model snapshot exists on disk
     best_dir = os.path.join(trainer.outd, C.BEST_LOC)
     assert any(f.endswith("best_model.msgpack")

@@ -203,3 +203,34 @@ def test_resnet_torch_weight_import_roundtrip():
     # mapping would be order-1 off, so a loose tolerance still catches it
     np.testing.assert_allclose(np.asarray(feats[1]), y, rtol=2e-2,
                                atol=2e-2)
+
+
+@pytest.mark.parametrize("method,pooling", [
+    ("GradCam", C.WGAP), ("GradCAMpp", C.WGAP), ("XGradCAM", C.WGAP),
+    ("LayerCAM", C.WGAP), ("GAP", C.GAP)])
+def test_cam_eval_step_methods(method, pooling):
+    """Batched eval step produces normalized crop-size CAMs for every
+    extractor family the evaluator dispatches."""
+    from tcam_wsol_video_tpu.core.hparams import HParams, finalize, \
+        get_config
+    from tcam_wsol_video_tpu.engine.steps import make_cam_eval_step
+    from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
+                                                    init_model)
+
+    cfg = get_config(C.YTOV1)
+    cfg.update(task=C.STD_CL, crop_size=32, resize_size=40,
+               compute_dtype="float32", method=method,
+               spatial_pooling=pooling)
+    args = finalize(HParams(cfg))
+    model = create_model_from_args(args)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    step = make_cam_eval_step(model, args)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+    cams, logits = step(variables["params"],
+                        variables.get("batch_stats", {}),
+                        x, jnp.asarray([0, 1]), jax.random.PRNGKey(1))
+    assert cams.shape == (2, 32, 32)
+    assert logits.shape == (2, 10)
+    c = np.asarray(cams)
+    assert np.isfinite(c).all() and c.min() >= 0 and c.max() <= 1
