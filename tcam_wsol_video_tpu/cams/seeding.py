@@ -33,29 +33,66 @@ from tcam_wsol_video_tpu.ops.otsu import otsu_threshold_255
 Array = jax.Array
 
 
-def _ranks_desc(v: Array) -> Array:
-    """rank[i] = position of element i in a stable descending sort."""
-    order = jnp.argsort(-v, stable=True)
-    ranks = jnp.zeros_like(order)
-    return ranks.at[order].set(jnp.arange(v.shape[0]))
+_BISECT_ITERS = 10  # boundary resolution: 2^-10 of the value range
 
 
-def _ranks_asc(v: Array) -> Array:
-    order = jnp.argsort(v, stable=True)
-    ranks = jnp.zeros_like(order)
-    return ranks.at[order].set(jnp.arange(v.shape[0]))
+def _top_fraction_mask(v: Array, n: Array, largest: bool) -> Array:
+    """Eligibility mask ~= "among the n largest (smallest) values of v".
+
+    Bisection on the value range with full-vector counts — O(P) per
+    iteration, no sort, no scatter (both are serialized on TPU; the
+    reference-style batched argsorts alone cost 915 of a 1489 ms train
+    step at 224^2 on v5e, and a scatter-add histogram was no better).
+    The boundary lands within 2^-10 of the range, so the eligible pool
+    can differ from exactly-n by boundary ties — immaterial for seed
+    sampling.
+    """
+    lo = jnp.min(v)
+    hi = jnp.max(v)
+
+    def body(_, bounds):
+        lo_b, hi_b = bounds
+        mid = 0.5 * (lo_b + hi_b)
+        count = jnp.sum(v >= mid) if largest else jnp.sum(v <= mid)
+        keep = count >= n  # mid still keeps enough elements
+        if largest:
+            # invariant: count(v >= lo_b) >= n; move lo_b up while it holds
+            lo_b = jnp.where(keep, mid, lo_b)
+            hi_b = jnp.where(keep, hi_b, mid)
+        else:
+            # invariant: count(v <= hi_b) >= n; move hi_b down while it holds
+            hi_b = jnp.where(keep, mid, hi_b)
+            lo_b = jnp.where(keep, lo_b, mid)
+        return lo_b, hi_b
+
+    lo_b, hi_b = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
+    # the invariant side guarantees at least ~n eligible
+    return (v >= lo_b) if largest else (v <= hi_b)
 
 
 def _gumbel_topk_mask(key: jax.Array, logw: Array, eligible: Array,
-                      k: Array) -> Array:
+                      k: int) -> Array:
     """Select min(k, #eligible) elements w/o replacement with probabilities
-    proportional to exp(logw), among `eligible`.  Returns a 0/1 mask."""
+    proportional to exp(logw), among `eligible`.  Returns a 0/1 mask.
+
+    k is a static (python) count and tiny (~10): k rounds of argmax beat
+    lax.top_k, which lowers to a full sort on TPU.
+    """
     g = jax.random.gumbel(key, logw.shape, dtype=jnp.float32)
     keys_ = jnp.where(eligible, logw + g, -jnp.inf)
-    sel_rank = _ranks_desc(keys_)
-    n_elig = jnp.sum(eligible)
-    kk = jnp.minimum(k, n_elig)
-    return ((sel_rank < kk) & eligible).astype(jnp.int32)
+    iota = jax.lax.iota(jnp.int32, keys_.shape[0])
+
+    def body(_, carry):
+        kc, mask = carry
+        i = jnp.argmax(kc)
+        hit = (iota == i) & jnp.isfinite(kc[i])
+        mask = jnp.where(hit, 1, mask)
+        kc = jnp.where(iota == i, -jnp.inf, kc)
+        return kc, mask
+
+    _, mask = jax.lax.fori_loop(
+        0, k, body, (keys_, jnp.zeros(keys_.shape, jnp.int32)))
+    return mask
 
 
 @dataclass(frozen=True)
@@ -94,22 +131,20 @@ def _seed_one(key: jax.Array, cam: Array, roi: Optional[Array],
         cam_fg = (cam + 1e-8).reshape(p)
         n_fg = jnp.int32(int(cfg.max_p * p))
 
-    fg_rank = _ranks_desc(cam_fg)
-    fg_elig = fg_rank < n_fg
+    fg_elig = _top_fraction_mask(cam_fg, n_fg, largest=True) & (n_fg > 0)
     if seed_tech == constants.SEED_UNIFORM:
         logw_fg = jnp.zeros_like(cam_fg)
     else:  # SEED_WEIGHTED: probs proportional to cam values (_SFG :517-520)
         logw_fg = jnp.log(jnp.maximum(cam_fg, 1e-20))
-    fg = _gumbel_topk_mask(kf, logw_fg, fg_elig, jnp.int32(cfg.max_))
+    fg = _gumbel_topk_mask(kf, logw_fg, fg_elig, max(int(cfg.max_), 1))
     fg = jnp.where(cfg.max_ > 0, fg, 0)
 
     # ---- background: bottom min_p fraction of the full cam, uniform
     cam_bg = (cam + 1e-8).reshape(p)
     n_bg = jnp.int32(int(cfg.min_p * p))
-    bg_rank = _ranks_asc(cam_bg)
-    bg_elig = bg_rank < n_bg
+    bg_elig = _top_fraction_mask(cam_bg, n_bg, largest=False) & (n_bg > 0)
     bg = _gumbel_topk_mask(kb, jnp.zeros_like(cam_bg), bg_elig,
-                           jnp.int32(cfg.min_))
+                           max(int(cfg.min_), 1))
     bg = jnp.where(cfg.min_ > 0, bg, 0)
 
     fg = fg.reshape(h, w)
@@ -174,14 +209,14 @@ def _fcam_seed_one(key: jax.Array, cam: Array, cfg: FCAMSeederCfg) -> Array:
 
     fg_elig = roi.reshape(p) > 0
     fg = _gumbel_topk_mask(kf, jnp.zeros((p,), jnp.float32), fg_elig,
-                           jnp.int32(cfg.max_))
+                           max(int(cfg.max_), 1))
     fg = jnp.where(cfg.max_ > 0, fg, 0)
 
     n_bg = jnp.int32(int(cfg.min_p * p))
-    bg_rank = _ranks_asc(cam.reshape(p))
-    bg_elig = bg_rank < n_bg
+    bg_elig = _top_fraction_mask(cam.reshape(p) + 1e-8, n_bg,
+                                 largest=False) & (n_bg > 0)
     bg = _gumbel_topk_mask(kb, jnp.zeros((p,), jnp.float32), bg_elig,
-                           jnp.int32(cfg.min_))
+                           max(int(cfg.min_), 1))
     bg = jnp.where(cfg.min_ > 0, bg, 0)
 
     fg = morphology.dilate(fg.reshape(h, w), cfg.ksz)

@@ -104,22 +104,29 @@ def bilateral_filter_batch(images: jax.Array, segs: jax.Array,
     sigma_xy=None selects the color-only kernel (the temporal joint CRF,
     colorbilateralfilter.cpp:4-18).  Returns AS with segs' shape.
 
-    On TPU the Pallas flash-attention-style kernel runs (~1000x faster
-    than the lax.map tiling at 224^2); elsewhere (or for images too large
-    for VMEM residency) the portable XLA path runs.
+    On TPU the batched Pallas kernel runs (VMEM-resident, no (R, P) tile
+    materialization); elsewhere, or for images too large for VMEM
+    residency, the portable XLA tiling runs.  Both are exp-bound at the
+    same ~50 ms per 224^2 image (2.6e9 transcendentals); `scale_factor`
+    is the sanctioned speed knob (13 ms at 0.5).
     """
     b, h, w, k = segs.shape
     pallas_ok = _use_pallas(h * w) and k <= 8
 
+    if pallas_ok:
+        from tcam_wsol_video_tpu.ops.pallas.bilateral import \
+            gaussian_filter_apply_pallas_batched
+        feats = jax.vmap(
+            lambda img: make_bilateral_features(img, sigma_rgb, sigma_xy)
+        )(images)                                        # (B, P, D)
+        vals = segs.reshape(b, h * w, k).astype(jnp.float32)
+        out = gaussian_filter_apply_pallas_batched(feats, vals)
+        return out.reshape(b, h, w, k)
+
     def one(img, s):
         f = make_bilateral_features(img, sigma_rgb, sigma_xy)
         v = s.reshape(h * w, k).astype(jnp.float32)
-        if pallas_ok:
-            from tcam_wsol_video_tpu.ops.pallas.bilateral import \
-                gaussian_filter_apply_pallas
-            out = gaussian_filter_apply_pallas(f, v)
-        else:
-            out = gaussian_filter_apply(f, v, row_block=row_block)
+        out = gaussian_filter_apply(f, v, row_block=row_block)
         return out.reshape(h, w, k)
 
     return jax.vmap(one)(images, segs)

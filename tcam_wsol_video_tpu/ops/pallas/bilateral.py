@@ -72,6 +72,84 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _kernel_batched(featsT_ref, sq_ref, valsT_ref, out_ref, *,
+                    n_col_tiles: int):
+    """Batched variant: grid (B, n_rows); refs carry a leading length-1
+    batch block.  The per-image featsT/sq/valsT blocks keep the same
+    index across the inner row dimension, so Mosaic fetches them once per
+    image instead of per row tile."""
+    i = pl.program_id(1)
+    f_rows = featsT_ref[0, :, pl.ds(i * ROW_TILE, ROW_TILE)]   # (D, R)
+    sq_rows = sq_ref[0, :, pl.ds(i * ROW_TILE, ROW_TILE)]      # (1, R)
+
+    def body(c, acc):
+        f_cols = featsT_ref[0, :, pl.ds(c * COL_TILE, COL_TILE)]
+        sq_cols = sq_ref[0, :, pl.ds(c * COL_TILE, COL_TILE)]
+        dots = lax.dot_general(
+            f_rows, f_cols, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+        d2 = jnp.transpose(sq_rows) + sq_cols - 2.0 * dots
+        wgt = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+        v = valsT_ref[0, :, pl.ds(c * COL_TILE, COL_TILE)]
+        return acc + lax.dot_general(
+            wgt, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+
+    acc = lax.fori_loop(0, n_col_tiles,
+                        body, jnp.zeros((ROW_TILE, K_PAD), jnp.float32))
+    out_ref[0, :, :] = jnp.transpose(acc)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gaussian_filter_apply_pallas_batched(feats: jax.Array, vals: jax.Array,
+                                         interpret: bool = False
+                                         ) -> jax.Array:
+    """Batched bilateral filter: feats (B, P, D<=8), vals (B, P, K<=8)
+    -> (B, P, K).  One kernel over grid (B, n_rows) — dramatically faster
+    than jax.vmap of the single-image kernel, which serializes poorly."""
+    b, p, d = feats.shape
+    k = vals.shape[2]
+    assert d <= D_PAD and k <= K_PAD, (d, k)
+    p_pad = _round_up(p, max(ROW_TILE, COL_TILE))
+
+    feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+    featsT = jnp.zeros((b, D_PAD, p_pad), jnp.float32)
+    featsT = featsT.at[:, :d, :p].set(jnp.swapaxes(feats, 1, 2))
+    featsT = featsT.at[:, 0, p:].set(1e6)
+    sq = jnp.sum(featsT * featsT, axis=1, keepdims=True)     # (B, 1, P')
+    valsT = jnp.zeros((b, K_PAD, p_pad), jnp.float32)
+    valsT = valsT.at[:, :k, :p].set(jnp.swapaxes(vals, 1, 2))
+
+    n_rows = p_pad // ROW_TILE
+    n_cols = p_pad // COL_TILE
+    flops = 2 * b * p_pad * p_pad * (D_PAD + K_PAD)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_batched, n_col_tiles=n_cols),
+        out_shape=jax.ShapeDtypeStruct((b, K_PAD, p_pad), jnp.float32),
+        grid=(b, n_rows),
+        in_specs=[
+            pl.BlockSpec((1, D_PAD, p_pad), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p_pad), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K_PAD, p_pad), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K_PAD, ROW_TILE),
+                               lambda bb, i: (bb, 0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * b * p_pad * (D_PAD + 2 * K_PAD),
+            transcendentals=b * p_pad * p_pad),
+        interpret=interpret,
+    )(featsT, sq, valsT)
+    return jnp.swapaxes(out[:, :k, :p], 1, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gaussian_filter_apply_pallas(feats: jax.Array, vals: jax.Array,
                                  interpret: bool = False) -> jax.Array:

@@ -86,14 +86,16 @@ def test_tcam_seeder_fg_in_top_fraction(rng):
     cfg = seeding.TCAMSeederCfg(min_=5, max_=5, min_p=0.2, max_p=0.1, ksz=1,
                                 seed_tech=C.SEED_WEIGHTED)
     seeds = np.asarray(seeding.tcam_seeder(jax.random.PRNGKey(1), cams, cfg))
+    # the fast seeder quantizes the pool boundary to 1/512 of the range
+    binw = (cam.max() - cam.min()) / 512 + 1e-6
     n_top = int(0.1 * 400)
     thresh = np.sort(cam.ravel())[::-1][n_top - 1]
     fg_vals = cam[seeds[0] == 1]
-    assert (fg_vals >= thresh).all()
+    assert (fg_vals >= thresh - binw).all()
     n_bot = int(0.2 * 400)
     bot_thresh = np.sort(cam.ravel())[n_bot - 1]
     bg_vals = cam[seeds[0] == 0]
-    assert (bg_vals <= bot_thresh).all()
+    assert (bg_vals <= bot_thresh + binw).all()
 
 
 def test_tcam_seeder_degenerate_cam_all_ignore():

@@ -243,3 +243,17 @@ def test_mean_field_refinement_sharpens(rng):
     assert out[0, :, 10:, 1].mean() > 0.9
     assert out[0, :, :6, 1].mean() < 0.1
     np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
+
+
+def test_pallas_batched_bilateral_matches_xla(rng):
+    from tcam_wsol_video_tpu.ops.pallas.bilateral import \
+        gaussian_filter_apply_pallas_batched
+    imgs = (rng.random((3, 12, 14, 3)) * 255).astype(np.float32)
+    segs = rng.random((3, 12 * 14, 2)).astype(np.float32)
+    feats = jnp.stack([crf_ops.make_bilateral_features(
+        jnp.asarray(im), 15.0, 100.0) for im in imgs])
+    want = np.stack([np.asarray(crf_ops.gaussian_filter_apply(
+        feats[i], jnp.asarray(segs[i]))) for i in range(3)])
+    got = np.asarray(gaussian_filter_apply_pallas_batched(
+        feats, jnp.asarray(segs), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
