@@ -70,8 +70,26 @@ def main(argv=None) -> Dict[str, float]:
     log(f"evaluating {args.eval_checkpoint_type} (step {step}) "
         f"on {ns.split}")
 
+    classifier = None
+    if args.task == constants.C_BOX:
+        from tcam_wsol_video_tpu.models.factory import init_model as _im
+        cls_model = create_model_from_args(
+            args, override_arch_for_classifier=True)
+        cls_vars = jax.device_get(_im(cls_model, kc.key("cls"),
+                                      (1, c, c, 3)))
+        if args.folder_pre_trained_cl:
+            _, pl2 = ckpt.load_best_model(os.path.join(
+                args.folder_pre_trained_cl,
+                args.tcam_pretrained_seeder_ch_pt))
+            if pl2 is not None:
+                cls_vars = ckpt.merge_components_into_variables(
+                    cls_vars, pl2["components"],
+                    only=["encoder", "classification_head"])
+        classifier = (cls_model, cls_vars)
+
     ev = CamEvaluator(model, args, ds, pipe, ns.split,
-                      fast=False, on_device=args.on_device_eval)
+                      fast=False, on_device=args.on_device_eval,
+                      classifier=classifier)
     res = ev.run(variables, kc.key("eval", ns.split))
     res.pop("curves", None)
     printable = {k: v for k, v in res.items()

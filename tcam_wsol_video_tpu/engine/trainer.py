@@ -197,14 +197,21 @@ class Trainer:
                 ckpt.save_checkpoint(self.outd, step, self.state)
                 ckpt.keep_last_n_checkpoints(self.outd,
                                              args.keep_last_n_checkpoints)
+                self.save_meters()
             if args.log_every and (i % args.log_every == 0):
                 log({"split": "train", "epoch": epoch, "it": i,
                      "loss": float(metrics["loss"])}, step=step)
 
-        # epoch end: ELB anneal (reference on_epoch_end :967-976)
+        # epoch end: ELB anneal (reference on_epoch_end :967-976), then an
+        # epoch-boundary checkpoint so resume restores the annealed t
         self.state = self.state.replace(
             elb_t=update_t(self.state.elb_t, args.elb_mulcoef,
                            args.elb_max_t))
+        if args.checkpoint_save > 0:
+            ckpt.save_checkpoint(self.outd, int(self.state.step), self.state)
+            ckpt.keep_last_n_checkpoints(self.outd,
+                                         args.keep_last_n_checkpoints)
+            self.save_meters()
         if args.plot_progress:
             self._plot_progress(epoch)
 
@@ -256,10 +263,48 @@ class Trainer:
                 extra={"epoch": epoch,
                        "classification": val_res["classification"]})
 
+    def _meters_path(self) -> str:
+        return os.path.join(self.outd, "meters.pkl")
+
+    def save_meters(self) -> None:
+        """Meters ride along with rolling checkpoints so resume restores
+        best-so-far tracking (reference performance-tracker checkpoints,
+        train_wsol.py:1280-1325)."""
+        import pickle
+        payload = {k: {"history": m.history, "best_value": m.best_value,
+                       "best_epoch": m.best_epoch}
+                   for k, m in self.meters.items()}
+        with open(self._meters_path(), "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_meters(self) -> None:
+        import pickle
+        path = self._meters_path()
+        if not os.path.isfile(path):
+            return
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        for k, d in payload.items():
+            if k in self.meters:
+                self.meters[k].history = d["history"]
+                self.meters[k].best_value = d["best_value"]
+                self.meters[k].best_epoch = d["best_epoch"]
+
     def load_checkpoint_if_any(self) -> int:
         step, restored = ckpt.find_last_checkpoint(self.outd, self.state)
         if restored is not None:
             self.state = restored
+            self.load_meters()
+            # re-materialize the best snapshots for the student switch /
+            # final test evals
+            for tag, attr in ((constants.BEST_LOC, "best_loc_variables"),
+                              (constants.BEST_CL, "best_cl_variables")):
+                _, payload = ckpt.load_best_model(
+                    os.path.join(self.outd, tag))
+                if payload is not None:
+                    base = jax.device_get(self.state.variables())
+                    setattr(self, attr, ckpt.merge_components_into_variables(
+                        base, payload["components"]))
             log(f"resumed from step {step}")
             return int(np.asarray(restored.epoch)) + 1
         return 0

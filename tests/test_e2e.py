@@ -206,3 +206,49 @@ def test_native_loader_matches_python_path(synth):
         assert np.abs(raw[i] - arr).mean() < 8.0, i
         np.testing.assert_allclose(
             norm[i], normalize_imagenet(raw[i] / 255.0), atol=1e-5)
+
+
+def test_crash_resume_restores_state_and_meters(synth, tmp_path_factory):
+    """Kill-and-restart: a fresh Trainer resumes from the rolling
+    checkpoint with epoch, ELB t, meters and best snapshots intact
+    (reference find_last_checkpoint + performance-tracker restore)."""
+    from tcam_wsol_video_tpu.engine.trainer import Trainer
+    from tcam_wsol_video_tpu.models.factory import create_model_from_args
+
+    outd = str(tmp_path_factory.mktemp("resume"))
+    args = _small_args(max_epochs=2, lr=0.01, checkpoint_save=2,
+                       outd=outd, exp_id="r")
+    kc = KeyChain(0)
+    md_tr = load_split_metadata(synth["metadata_root"], "train")
+    ds_tr = WSOLVideoDataset(md_tr, synth["data_root"], "train", C.YTOV1,
+                             PairedTransform(40, 32, train=True), kc,
+                             crop_size=32)
+    pipe_tr = DataPipeline(ds_tr, args.batch_size, kc, num_workers=2)
+    eval_pipes = {}
+    for split in ("val", "test"):
+        md = load_split_metadata(synth["metadata_root"], split)
+        ds = WSOLVideoDataset(md, synth["data_root"], split, C.YTOV1,
+                              PairedTransform(40, 32, train=False), kc,
+                              crop_size=32)
+        eval_pipes[split] = (ds, DataPipeline(ds, 8, kc, shuffle=False,
+                                              num_workers=2))
+    model = create_model_from_args(args)
+
+    t1 = Trainer(args, model, pipe_tr, eval_pipes, keychain=kc)
+    t1.train_epoch(0)
+    res = t1.evaluate(0, "val")
+    t1.model_selection(0, res)
+    t1.save_meters()
+    step_before = int(t1.state.step)
+    elb_before = float(t1.state.elb_t)   # post-anneal (epoch-end ckpt)
+    assert step_before > 0
+
+    # "crash": brand-new trainer over the same exp dir
+    t2 = Trainer(args, model, pipe_tr, eval_pipes, keychain=KeyChain(0))
+    start = t2.load_checkpoint_if_any()
+    assert start == 1                      # resume at the next epoch
+    assert int(t2.state.step) == step_before
+    assert float(t2.state.elb_t) == pytest.approx(elb_before)
+    assert t2.meters["val_localization"].best_value == pytest.approx(
+        t1.meters["val_localization"].best_value)
+    assert t2.best_loc_variables is not None

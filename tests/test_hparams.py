@@ -1,0 +1,77 @@
+"""Config-system tests: CLI overrides, coercion, derived fields, yaml."""
+import os
+
+import pytest
+import yaml
+
+from tcam_wsol_video_tpu.core import constants as C
+from tcam_wsol_video_tpu.core.hparams import (HParams, dump_config,
+                                              experiment_tag, finalize,
+                                              get_config, parse_args)
+
+
+def test_parse_args_coercion():
+    args = parse_args([
+        "--dataset", C.YTOV1, "--task", "STD_CL",
+        "--lr", "0.01", "--batch_size", "16",
+        "--multi_contour_eval", "false",
+        "--iou_threshold_list", "[30, 50]",
+    ])
+    assert args.lr == 0.01 and isinstance(args.lr, float)
+    assert args.batch_size == 16 and isinstance(args.batch_size, int)
+    assert args.multi_contour_eval is False
+    assert args.iou_threshold_list == [30, 50]
+
+
+def test_tcam_clip_batch_division():
+    """batch_size //= 2*knn_tc+1 (reference parseit.py:641-645)."""
+    cfg = get_config(C.YTOV1)
+    cfg.update(task=C.TCAM, arch=C.UNETTCAM, knn_tc=1, batch_size=32,
+               sl_tc=True)
+    args = finalize(HParams(cfg))
+    assert args.batch_size == 10
+
+
+def test_method_pooling_mismatch_rejected():
+    cfg = get_config(C.YTOV1)
+    cfg.update(task=C.STD_CL, method=C.METHOD_CAM, spatial_pooling=C.GAP)
+    with pytest.raises(AssertionError):
+        finalize(HParams(cfg))
+
+
+def test_experiment_tag_format():
+    args = finalize(HParams(get_config(C.YTOV1)))
+    assert experiment_tag(args) == (
+        "YouTube-Objects-v1.0-resnet50-CAM-WGAP-"
+        "cp_best_localization-boxv2_True")
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    args = finalize(HParams(get_config(C.YTOV1)))
+    path = str(tmp_path / "config.yml")
+    dump_config(args, path)
+    with open(path) as f:
+        loaded = yaml.safe_load(f)
+    assert loaded["dataset"] == C.YTOV1
+    assert loaded["crf_tc_sigma_xy"] == 100.0
+
+    # yaml file as a base layer for CLI parsing
+    args2 = parse_args(["--dataset", C.YTOV1, "--config", path,
+                        "--lr", "0.5"])
+    assert args2.lr == 0.5
+    assert args2.crf_tc_sigma_rgb == 15.0
+
+
+def test_defaults_match_reference_recipe_keys():
+    """Spot-check reference defaults survive (config.py:289-473)."""
+    cfg = get_config(C.YTOV1)
+    assert cfg["elb_init_t"] == 1.0
+    assert cfg["elb_max_t"] == 10.0
+    assert cfg["elb_mulcoef"] == 1.01
+    assert cfg["crf_tc_lambda"] == 2e-9
+    assert cfg["crf_tc_sigma_rgb"] == 15.0
+    assert cfg["crf_tc_sigma_xy"] == 100.0
+    assert cfg["sl_tc_min_p"] == 0.2
+    assert cfg["seg_ignore_idx"] == -255
+    assert cfg["cam_curve_interval"] == 0.001
+    assert cfg["iou_threshold_list"] == [30, 50, 70]
