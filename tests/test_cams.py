@@ -196,3 +196,31 @@ def test_decay_temp_schedule():
                     sl_tc_seed_tech=C.SEED_UNIFORM)
     dt2.set_epoch(100)
     assert dt2.t == 2.0
+
+
+def test_score_cam_family_tiny(rng):
+    """ScoreCAM/SSCAM/ISCAM with a tiny linear 'model': channel-masked
+    re-scoring path, batched in chunks."""
+    b, h, w, c, classes = 2, 6, 6, 64, 3
+    feats = jnp.asarray(np.abs(rng.standard_normal((b, 5, 5, c))
+                               ).astype(np.float32))
+    images = jnp.asarray(rng.random((b, h, w, 3)).astype(np.float32))
+    wmat = jnp.asarray(rng.standard_normal((h * w * 3, classes)
+                                           ).astype(np.float32) * 0.01)
+
+    def logits_fn(x):
+        return x.reshape(x.shape[0], -1) @ wmat
+
+    idx = jnp.asarray([0, 2])
+    out = np.asarray(ex.score_cam(logits_fn, images, feats, idx,
+                                  batch_chunk=32))
+    assert out.shape == (b, 5, 5)
+    assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
+
+    out2 = np.asarray(ex.sscam(logits_fn, images, feats, idx,
+                               jax.random.PRNGKey(0), num_samples=2,
+                               batch_chunk=32))
+    out3 = np.asarray(ex.iscam(logits_fn, images, feats, idx,
+                               num_samples=2, batch_chunk=32))
+    for o in (out2, out3):
+        assert o.shape == (b, 5, 5) and np.isfinite(o).all()
