@@ -160,14 +160,27 @@ class CamEvaluator:
                 dev_counters = c if dev_counters is None else dev_counters + c
                 dev_count += int(valid.sum())
             else:
+                # cv2 releases the GIL: the per-image contour sweeps of a
+                # batch run in parallel threads (the reference runs them
+                # serially per image, inference_wsol.py:328-374)
                 cams_np = np.asarray(cams)
-                for i in range(cams_np.shape[0]):
-                    if not valid[i]:
-                        continue
-                    evaluator.accumulate(cams_np[i],
-                                         gt_boxes[i][gt_valid[i]],
-                                         int(batch["label"][i]),
-                                         preds[i])
+                idxs = [i for i in range(cams_np.shape[0]) if valid[i]]
+
+                def sweep(i):
+                    from tcam_wsol_video_tpu.metrics.wsol import \
+                        scoremap_to_boxes
+                    return i, scoremap_to_boxes(
+                        cams_np[i], evaluator.cam_threshold_list,
+                        evaluator.multi_contour_eval)
+
+                import concurrent.futures as cf
+                with cf.ThreadPoolExecutor(
+                        min(8, max(1, len(idxs)))) as pool:
+                    for i, boxes_counts in pool.map(sweep, idxs):
+                        evaluator.accumulate(
+                            cams_np[i], gt_boxes[i][gt_valid[i]],
+                            int(batch["label"][i]), preds[i],
+                            precomputed=boxes_counts)
 
         out: Dict[str, float] = {}
         if self.on_device:

@@ -173,9 +173,11 @@ class Trainer:
 
         tot_loss, n_corr, n = 0.0, 0, 0
         t0 = time.time()
-        for i, batch in enumerate(self.train_pipe.epoch(epoch)):
+        from tcam_wsol_video_tpu.data.pipeline import device_prefetch
+        for i, batch in enumerate(device_prefetch(
+                self.train_pipe.epoch(epoch), size=2)):
             key = self.kc.key("train", epoch, i)
-            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+            dev_batch = {k: v for k, v in batch.items()
                          if k != "image_id"}
             if args.task == constants.C_BOX:
                 cls_model, cls_vars = self.classifier

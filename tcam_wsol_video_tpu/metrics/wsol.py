@@ -95,11 +95,18 @@ class BoxEvaluator:
                    gt_boxes: np.ndarray, target: int,
                    preds_ordered: np.ndarray,
                    bbox: Optional[Sequence[float]] = None,
-                   bbox_status: Optional[float] = None) -> None:
+                   bbox_status: Optional[float] = None,
+                   precomputed=None) -> None:
         """One image.  gt_boxes: (G, 4) x0y0x1y1 at eval resolution.
         `bbox`/`bbox_status` cover the C_BOX path where the box is
         predicted directly (reference :295-340): an invalid box counts as
-        a miss at every tau."""
+        a miss at every tau.  `precomputed` accepts the
+        scoremap_to_boxes result when the sweep ran in a worker thread."""
+        if precomputed is not None:
+            boxes_per_tau, counts = precomputed
+            self._accumulate_boxes(boxes_per_tau, counts, gt_boxes, target,
+                                   preds_ordered)
+            return
         if scoremap is None:
             assert bbox is not None and bbox_status in (0, 1)
             if bbox_status == 0:
@@ -112,6 +119,11 @@ class BoxEvaluator:
             boxes_per_tau, counts = scoremap_to_boxes(
                 scoremap, self.cam_threshold_list, self.multi_contour_eval)
 
+        self._accumulate_boxes(boxes_per_tau, counts, gt_boxes, target,
+                               preds_ordered)
+
+    def _accumulate_boxes(self, boxes_per_tau, counts, gt_boxes, target,
+                          preds_ordered) -> None:
         all_boxes = np.concatenate(boxes_per_tau, axis=0)
         iou = iou_matrix_np(all_boxes, np.asarray(gt_boxes, np.float64))
         best_per_box = iou.max(axis=1)

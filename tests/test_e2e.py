@@ -252,3 +252,24 @@ def test_crash_resume_restores_state_and_meters(synth, tmp_path_factory):
     assert t2.meters["val_localization"].best_value == pytest.approx(
         t1.meters["val_localization"].best_value)
     assert t2.best_loc_variables is not None
+
+
+def test_pipeline_shards_are_disjoint_and_cover(synth):
+    """Data-parallel sharding: per-shard index sets partition the epoch
+    (with tail padding), mirroring DistributedSampler semantics."""
+    kc = KeyChain(0)
+    md = load_split_metadata(synth["metadata_root"], "train")
+    ds = WSOLVideoDataset(md, synth["data_root"], "train", C.YTOV1,
+                          PairedTransform(40, 32, train=True), kc,
+                          crop_size=32)
+    shards = []
+    for r in range(2):
+        pipe = DataPipeline(ds, batch_size=4, keychain=KeyChain(0),
+                            num_shards=2, shard_index=r, num_workers=1)
+        shards.append(pipe._epoch_indices(1))
+    n = len(ds)
+    per = -(-n // 2)
+    assert len(shards[0]) == len(shards[1]) == per
+    combined = np.concatenate(shards)
+    # covers every index (pad duplicates allowed up to the pad count)
+    assert set(combined.tolist()) == set(range(n))
