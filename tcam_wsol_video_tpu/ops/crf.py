@@ -87,7 +87,7 @@ def gaussian_filter_apply(feats: jax.Array, vals: jax.Array,
     return out.reshape(nblk * row_block, k)[:p]
 
 
-_PALLAS_MAX_PIXELS = 160_000  # VMEM budget for the fully-resident kernel
+_PALLAS_MAX_PIXELS = 60_000  # VMEM budget: inputs + scratch + (1024,1024) tiles
 
 
 def _use_pallas(n_pixels: int) -> bool:

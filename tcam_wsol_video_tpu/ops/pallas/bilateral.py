@@ -72,6 +72,60 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _kernel_batched_sym(featsT_ref, sq_ref, valsT_ref, out_ref,
+                        scratch_ref, *, n_col_tiles: int, tile: int):
+    """Symmetry-exploiting variant: W is symmetric, so each (I, J>=I)
+    tile pair is computed once — its transpose contribution accumulates
+    into a VMEM scratch that persists across the (sequential) grid steps
+    of one image.  Halves the exp work, the dominant cost.
+
+    Grid (B, n_rows) with rows innermost; col tiles == row tiles
+    (ROW_TILE == COL_TILE required).  At step i every scratch column tile
+    j < i is already complete, so out_I = local(J >= I) + scratch_I.
+    """
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _zero_scratch():
+        scratch_ref[:, :] = jnp.zeros_like(scratch_ref)
+
+    f_rows = featsT_ref[0, :, pl.ds(i * tile, tile)]           # (D, R)
+    sq_rows = sq_ref[0, :, pl.ds(i * tile, tile)]              # (1, R)
+    v_rows = valsT_ref[0, :, pl.ds(i * tile, tile)]            # (K, R)
+
+    def body(j, acc):
+        f_cols = featsT_ref[0, :, pl.ds(j * tile, tile)]
+        sq_cols = sq_ref[0, :, pl.ds(j * tile, tile)]
+        dots = lax.dot_general(
+            f_rows, f_cols, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+        d2 = jnp.transpose(sq_rows) + sq_cols - 2.0 * dots      # (R, C)
+        wgt = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+        v_cols = valsT_ref[0, :, pl.ds(j * tile, tile)]
+        # values/weights live in [0, 1] and accumulate in fp32: one-pass
+        # matmul precision is plenty (only the d2 dots need HIGHEST)
+        acc = acc + lax.dot_general(
+            wgt, v_cols, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (R, K)
+
+        # transpose contribution to the columns' output: (C, K) += W^T v_I
+        @pl.when(j > i)
+        def _():
+            contrib = lax.dot_general(
+                wgt, v_rows, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (C, K)
+            cur = scratch_ref[:, pl.ds(j * tile, tile)]
+            scratch_ref[:, pl.ds(j * tile, tile)] = (
+                cur + jnp.transpose(contrib))
+        return acc
+
+    acc = lax.fori_loop(i, n_col_tiles, body,
+                        jnp.zeros((tile, K_PAD), jnp.float32))
+    mine = scratch_ref[:, pl.ds(i * tile, tile)]                # (K, R)
+    out_ref[0, :, :] = mine + jnp.transpose(acc)
+
+
 def _kernel_batched(featsT_ref, sq_ref, valsT_ref, out_ref, *,
                     n_col_tiles: int):
     """Batched variant: grid (B, n_rows); refs carry a leading length-1
@@ -112,7 +166,8 @@ def gaussian_filter_apply_pallas_batched(feats: jax.Array, vals: jax.Array,
     b, p, d = feats.shape
     k = vals.shape[2]
     assert d <= D_PAD and k <= K_PAD, (d, k)
-    p_pad = _round_up(p, max(ROW_TILE, COL_TILE))
+    tile = 1024  # symmetric kernel: row tile == col tile
+    p_pad = _round_up(p, tile)
 
     feats = feats - jnp.mean(feats, axis=1, keepdims=True)
     featsT = jnp.zeros((b, D_PAD, p_pad), jnp.float32)
@@ -122,14 +177,15 @@ def gaussian_filter_apply_pallas_batched(feats: jax.Array, vals: jax.Array,
     valsT = jnp.zeros((b, K_PAD, p_pad), jnp.float32)
     valsT = valsT.at[:, :k, :p].set(jnp.swapaxes(vals, 1, 2))
 
-    n_rows = p_pad // ROW_TILE
-    n_cols = p_pad // COL_TILE
-    flops = 2 * b * p_pad * p_pad * (D_PAD + K_PAD)
+    n_tiles = p_pad // tile
+    # symmetry: each pair computed once -> half the flops/transcendentals
+    flops = b * p_pad * p_pad * (D_PAD + 2 * K_PAD)
 
     out = pl.pallas_call(
-        functools.partial(_kernel_batched, n_col_tiles=n_cols),
+        functools.partial(_kernel_batched_sym, n_col_tiles=n_tiles,
+                          tile=tile),
         out_shape=jax.ShapeDtypeStruct((b, K_PAD, p_pad), jnp.float32),
-        grid=(b, n_rows),
+        grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec((1, D_PAD, p_pad), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -138,13 +194,14 @@ def gaussian_filter_apply_pallas_batched(feats: jax.Array, vals: jax.Array,
             pl.BlockSpec((1, K_PAD, p_pad), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K_PAD, ROW_TILE),
+        out_specs=pl.BlockSpec((1, K_PAD, tile),
                                lambda bb, i: (bb, 0, i),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((K_PAD, p_pad), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * b * p_pad * (D_PAD + 2 * K_PAD),
-            transcendentals=b * p_pad * p_pad),
+            transcendentals=b * p_pad * p_pad // 2),
         interpret=interpret,
     )(featsT, sq, valsT)
     return jnp.swapaxes(out[:, :k, :p], 1, 2)
