@@ -123,10 +123,12 @@ def main(argv=None) -> Dict:
                                           (1, c, c, 3)))
     variables = load_pretrained_classifier_weights(args, variables)
 
-    # C_BOX trains against a frozen stage-1 classifier (reference
-    # main.py:61-70 get_pretrainde_classifier)
+    # TCAM/F_CL/C_BOX train against a frozen stage-1 classifier: C_BOX for
+    # scoring, TCAM/F_CL as the on-the-fly seed source when no CAM store
+    # is given (reference main.py:61-70 get_pretrainde_classifier; seeder
+    # weights come from the BEST_LOC checkpoint, config.py:363-368)
     classifier = None
-    if args.task == constants.C_BOX:
+    if args.task in (constants.C_BOX, constants.TCAM, constants.F_CL):
         from tcam_wsol_video_tpu.models.factory import init_model as _im
         cls_model = create_model_from_args(
             args, override_arch_for_classifier=True)

@@ -47,7 +47,9 @@ def _apply_model(model, params, batch_stats, images, train, key=None):
 
 def make_train_step(model, master_loss: MasterLoss, optimizer, args,
                     seeder_cfg: Optional[TCAMSeederCfg] = None,
-                    student_seed_source: bool = False):
+                    student_seed_source: bool = False,
+                    classifier_model=None,
+                    recompute_std_cams: bool = False):
     """Returns train_step(state, batch, switches, key, seed_tech_weighted
     [, student_params, student_bstats]) -> (new_state, metrics dict).
 
@@ -87,6 +89,26 @@ def make_train_step(model, master_loss: MasterLoss, optimizer, args,
                    seed_weighted: jax.Array,
                    student_params=None, student_bstats=None):
         k_seed, k_drop = jax.random.split(key)
+
+        if recompute_std_cams and not student_seed_source:
+            # no CAM store: rebuild seed CAMs from the frozen stage-1
+            # classifier on the fly (reference get_std_cams_minibatch,
+            # train_wsol.py:434-464); CAM method = classic fc-weight CAM
+            assert classifier_model is not None
+            cls_out, _ = _apply_model(classifier_model, student_params,
+                                      student_bstats, batch["image"],
+                                      train=False)
+            fc_w = student_params["classification_head"]["fc"]["kernel"]
+            cams_fly = ex.cam_fc_weights(cls_out["features"][-1], fc_w,
+                                         batch["label"],
+                                         args.support_background)
+            cams_fly = jax.lax.stop_gradient(jnp.nan_to_num(cams_fly))
+            if cams_fly.shape[-2:] != batch["image"].shape[1:3]:
+                cams_fly = resize_bilinear(
+                    cams_fly[..., None], batch["image"].shape[1:3],
+                    align_corners=False)[..., 0]
+            batch = dict(batch)
+            batch["std_cam"] = jnp.clip(cams_fly, 0.0, 1.0)
 
         if student_seed_source:
             cams_sw, roi_sw, msk_bbox_sw, fg_size_sw = _student_seed_inputs(

@@ -109,10 +109,17 @@ class Trainer:
                 fg_erode_iter=args.sl_tc_fg_erode_iter, ksz=args.sl_tc_ksz,
                 seg_ignore_idx=args.seg_ignore_idx,
                 use_roi=args.sl_tc_use_roi)
+        # TCAM without a CAM store: rebuild seed CAMs from the frozen
+        # classifier inside the step (reference get_std_cams_minibatch)
+        self._recompute_cams = (
+            args.task == constants.TCAM and args.sl_tc
+            and getattr(train_pipe.ds, "cam_store", None) is None
+            and classifier is not None)
         if args.task != constants.C_BOX:
-            self.train_step = make_train_step(model, self.master_loss,
-                                              self.optimizer, args,
-                                              seeder_cfg)
+            self.train_step = make_train_step(
+                model, self.master_loss, self.optimizer, args, seeder_cfg,
+                classifier_model=(classifier[0] if classifier else None),
+                recompute_std_cams=self._recompute_cams)
         self._seeder_cfg = seeder_cfg
         self._student_step = None  # built lazily at the epoch switch
 
@@ -188,6 +195,11 @@ class Trainer:
                 self.state, metrics = self._student_step(
                     self.state, dev_batch, switches, key, seed_weighted,
                     s_params, s_bstats)
+            elif self._recompute_cams:
+                cls_vars = self.classifier[1]
+                self.state, metrics = self.train_step(
+                    self.state, dev_batch, switches, key, seed_weighted,
+                    cls_vars["params"], cls_vars.get("batch_stats", {}))
             else:
                 self.state, metrics = self.train_step(
                     self.state, dev_batch, switches, key, seed_weighted)

@@ -138,3 +138,31 @@ def test_tcam_with_temporal_crf(synth, tmp_path_factory):
     tr = Trainer(args, model, pipe_tr, eval_pipes, keychain=kc)
     m = tr.train_epoch(0)
     assert np.isfinite(m["loss"])
+
+
+def test_tcam_without_cam_store_recomputes_seeds(synth, tmp_path_factory):
+    """No --std_cams_folder: seed CAMs rebuilt from the frozen classifier
+    inside the jitted step (reference get_std_cams_minibatch)."""
+    import jax
+    from tcam_wsol_video_tpu.engine.trainer import Trainer
+    from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
+                                                    init_model)
+
+    out_root = str(tmp_path_factory.mktemp("exps3"))
+    kc = KeyChain(2)
+    args = _args(C.TCAM, synth, outd=out_root, exp_id="fly", lr=0.01,
+                 sl_tc=True, sl_tc_max=4, sl_tc_min=4,
+                 max_sizepos_tc=True, max_sizepos_tc_lambda=0.01)
+    pipe_tr, eval_pipes = _pipes(args, synth, kc)   # no cam_store
+    assert pipe_tr.ds.cam_store is None
+
+    cls_model = create_model_from_args(args,
+                                       override_arch_for_classifier=True)
+    cls_vars = jax.device_get(init_model(cls_model, kc.key("cls"),
+                                         (1, 32, 32, 3)))
+    model = create_model_from_args(args)
+    tr = Trainer(args, model, pipe_tr, eval_pipes, keychain=kc,
+                 classifier=(cls_model, cls_vars))
+    assert tr._recompute_cams
+    m = tr.train_epoch(0)
+    assert np.isfinite(m["loss"])
