@@ -18,8 +18,7 @@ sample at a time through the model (inference_wsol.py:332-337).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ import os
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from tcam_wsol_video_tpu.core import constants
 from tcam_wsol_video_tpu.core import checkpoint as ckpt

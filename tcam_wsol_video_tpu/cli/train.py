@@ -13,7 +13,7 @@ Usage:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import collections
 import concurrent.futures as cf
 import itertools
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import jax
 import numpy as np

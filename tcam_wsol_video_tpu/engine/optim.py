@@ -17,8 +17,6 @@ from typing import Callable
 import jax
 import optax
 
-from tcam_wsol_video_tpu.core import constants
-
 
 def param_group_labels(params: dict, encoder_name: str) -> dict:
     """'head' for classifier-rate params, 'base' otherwise (reference

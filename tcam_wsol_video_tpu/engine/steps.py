@@ -16,8 +16,7 @@ all-reduce analogue).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

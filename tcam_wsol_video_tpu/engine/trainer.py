@@ -15,7 +15,6 @@ host-side state (meters, schedules, snapshots).
 """
 from __future__ import annotations
 
-import copy
 import os
 import time
 from typing import Dict, List, Optional

@@ -12,7 +12,7 @@ Stage splits (stage_idxs 3, 5, 9, 15) give features
 """
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ freeze_classifier, base/model.py:180-216).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,6 @@ tests against ops/crf.py (which remains the portable path + vjp oracle).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
