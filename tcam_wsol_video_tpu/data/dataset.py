@@ -223,6 +223,14 @@ class WSOLVideoDataset:
             cam_t = np.clip(cam_t, 0.0, 1.0)
             has_cam = np.float32(1.0)
 
+        # temporal fg-size estimate for FgSizeTcams (the reference derives
+        # it from cam mass over the roi, train_wsol.py:685-696): fraction
+        # of the frame covered by the (roi-masked) fused CAM
+        if self.use_roi and roi.sum() > 0:
+            fg_size = np.float32((cam_t * (roi > 0)).sum() / (c * c))
+        else:
+            fg_size = np.float32(cam_t.mean())
+
         return {
             "image": norm,
             "label": np.int32(label),
@@ -234,6 +242,7 @@ class WSOLVideoDataset:
             "frm_iter": np.float32(frame_iter),
             "roi": roi.astype(np.int32),
             "msk_bbox": np.asarray(msk_bbox, np.float32),
+            "fg_size": fg_size,
         }
 
     def get_item(self, idx: int) -> List[dict]:

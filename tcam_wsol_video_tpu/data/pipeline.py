@@ -28,7 +28,7 @@ from tcam_wsol_video_tpu.core.prng import KeyChain
 from tcam_wsol_video_tpu.data.dataset import WSOLVideoDataset
 
 _STACK_KEYS = ("image", "label", "raw_img", "std_cam", "has_cam",
-               "seq_iter", "frm_iter", "roi", "msk_bbox")
+               "seq_iter", "frm_iter", "roi", "msk_bbox", "fg_size")
 
 
 def collate(items: List[dict]) -> Dict[str, np.ndarray]:
@@ -149,6 +149,7 @@ class DataPipeline:
                 "frm_iter": np.zeros((n,), np.float32),
                 "roi": np.zeros((n, c, c), np.int32),
                 "msk_bbox": np.ones((n, c, c), np.float32),
+                "fg_size": np.zeros((n,), np.float32),
                 "image_id": fids,
             }
             if self.drop_remainder and n < self.batch_size:

@@ -153,12 +153,10 @@ class WildCatCLHead(nn.Module):
         kmin = _wildcat_k(self.kmax if self.kmin is None else self.kmin, n)
         assert kmax != 0, "kmax=0"
         scores = jnp.sum(srt[:, :kmax, :], axis=1) / kmax
-        if kmin > 0 and self.alpha != 0.0:
-            # NOTE: reference uses non-inplace Tensor.add whose result is
-            # discarded (wildcat.py:93-97) so the min-term is a no-op there;
-            # we implement the intended formula.
-            mins = jnp.sum(srt[:, n - kmin:, :], axis=1) * (self.alpha / kmin)
-            scores = (scores + mins) / 2.0
+        # NOTE: parity over intent — the reference's kmin term is a no-op
+        # (non-inplace Tensor.add with a discarded result,
+        # wildcat.py:93-97), so the effective decision is the kmax mean
+        # only; we reproduce the effective computation.
         if self.support_background:
             scores = scores[:, 1:]
         return scores, cams
