@@ -35,7 +35,8 @@ def cam_threshold_list(interval: float) -> np.ndarray:
 class CamEvaluator:
     def __init__(self, model, args, dataset, pipeline, split: str,
                  fast: bool = False, on_device: bool = False,
-                 max_gt_boxes: int = 8, classifier=None):
+                 max_gt_boxes: int = 8, classifier=None,
+                 visual_dump_dir: str = "", visual_dump_n: int = 16):
         self.model = model
         self.args = args
         self.ds = dataset
@@ -49,6 +50,9 @@ class CamEvaluator:
         self.on_device = on_device
         self.max_gt_boxes = max_gt_boxes
         self.classifier = classifier
+        self.visual_dump_dir = visual_dump_dir
+        self.visual_dump_n = visual_dump_n
+        self._visuals = []  # (image_id, raw_img, cam, gt_boxes)
         if args.task == constants.C_BOX:
             assert classifier is not None, "C_BOX eval needs the classifier"
             from tcam_wsol_video_tpu.engine.cbox_steps import \
@@ -181,6 +185,14 @@ class CamEvaluator:
                             cams_np[i], gt_boxes[i][gt_valid[i]],
                             int(batch["label"][i]), preds[i],
                             precomputed=boxes_counts)
+                if (self.visual_dump_dir
+                        and len(self._visuals) < self.visual_dump_n):
+                    for i in idxs:
+                        if len(self._visuals) >= self.visual_dump_n:
+                            break
+                        self._visuals.append(
+                            (batch["image_id"][i], batch["raw_img"][i],
+                             cams_np[i], gt_boxes[i][gt_valid[i]]))
 
         out: Dict[str, float] = {}
         if self.on_device:
@@ -201,6 +213,23 @@ class CamEvaluator:
             out["curves"] = evaluator.curves
 
         out["n_images"] = n_total
+        # prediction overlays at the best tau (reference
+        # draw_some_best_pred, inference_wsol.py:700-800)
+        if self.visual_dump_dir and self._visuals and not self.on_device:
+            import os as _os
+
+            from tcam_wsol_video_tpu.metrics.wsol import scoremap_to_boxes
+            from tcam_wsol_video_tpu.viz.wsol_viz import plot_single
+            best_tau = evaluator.best_tau_list[
+                min(1, len(evaluator.best_tau_list) - 1)]  # IoU-50 point
+            for iid, raw, cam, gtb in self._visuals:
+                pb, _ = scoremap_to_boxes(cam, [best_tau],
+                                          self.args.multi_contour_eval)
+                plot_single(raw, cam, gtb, pb[0],
+                            _os.path.join(self.visual_dump_dir,
+                                          iid.replace("/", "_") + ".png"),
+                            tags={"tau": round(best_tau, 3)})
+
         # aggregate localization score (reference train_wsol.py:1515-1522)
         accs_only = [out[f"maxboxacc_{s}"]
                      for s in self.args.iou_threshold_list]

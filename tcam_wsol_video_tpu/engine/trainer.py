@@ -241,13 +241,17 @@ class Trainer:
 
     # --------------------------------------------------------------- eval
     def evaluate(self, epoch: int, split: str,
-                 on_device: Optional[bool] = None) -> Dict[str, float]:
+                 on_device: Optional[bool] = None,
+                 visual_dump: bool = False) -> Dict[str, float]:
         ds, pipe = self.eval_pipes[split]
         ev = CamEvaluator(self.model, self.args, ds, pipe, split,
                           fast=self.args.fast_eval,
                           on_device=(self.args.on_device_eval
                                      if on_device is None else on_device),
-                          classifier=self.classifier)
+                          classifier=self.classifier,
+                          visual_dump_dir=(os.path.join(self.outd, "visuals",
+                                                        split)
+                                           if visual_dump else ""))
         res = ev.run(self.state.variables(), self.kc.key("eval", split,
                                                          epoch))
         log({"split": split, "epoch": epoch,
@@ -420,7 +424,8 @@ class Trainer:
             self.state = self.state.replace(
                 params=variables["params"],
                 batch_stats=variables.get("batch_stats", {}))
-            res = self.evaluate(self.args.max_epochs, constants.TESTSET)
+            res = self.evaluate(self.args.max_epochs, constants.TESTSET,
+                                visual_dump=True)
             self.dump_eval_artifacts(f"test_{tag}", res)
             results[tag] = res
             self.state = saved
