@@ -273,3 +273,57 @@ def test_pipeline_shards_are_disjoint_and_cover(synth):
     combined = np.concatenate(shards)
     # covers every index (pad duplicates allowed up to the pad count)
     assert set(combined.tolist()) == set(range(n))
+
+
+def test_openimages_pxap_eval_branch(tmp_path_factory):
+    """OpenImages-style split: mask-path metadata routes evaluation to
+    PxAP instead of boxes."""
+    from PIL import Image
+    from tcam_wsol_video_tpu.engine.evaluator import CamEvaluator
+    from tcam_wsol_video_tpu.models.factory import create_model_from_args
+
+    root = str(tmp_path_factory.mktemp("oi"))
+    data_root = os.path.join(root, "data")
+    meta = os.path.join(root, "folds", "test")
+    os.makedirs(meta, exist_ok=True)
+    rng = np.random.default_rng(0)
+    ids, labels, locs = [], [], []
+    for i in range(6):
+        sub = f"cls{i % 2}"
+        os.makedirs(os.path.join(data_root, sub), exist_ok=True)
+        img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        img[10:30, 10:30] = (230, 40, 40)
+        iid = f"{sub}/im{i}.jpg"
+        Image.fromarray(img).save(os.path.join(data_root, iid))
+        mask = np.zeros((48, 48), np.uint8)
+        mask[10:30, 10:30] = 255
+        mpath = f"{sub}/im{i}_mask.png"
+        Image.fromarray(mask).save(os.path.join(data_root, mpath))
+        ids.append(iid)
+        labels.append(f"{iid},{i % 2}")
+        locs.append(f"{iid},{mpath}")
+    for name, rows in (("image_ids.txt", ids), ("class_labels.txt", labels),
+                       ("localization.txt", locs),
+                       ("image_sizes.txt", [f"{i},48,48" for i in ids])):
+        with open(os.path.join(meta, name), "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    cfg = get_config(C.OpenImages)
+    cfg.update(task=C.STD_CL, crop_size=32, resize_size=40,
+               eval_batch_size=8, compute_dtype="float32",
+               cam_curve_interval=0.05, num_workers=1)
+    args = finalize(HParams(cfg))
+    kc = KeyChain(0)
+    md = load_split_metadata(os.path.join(root, "folds"), "test")
+    assert md.mask_paths
+    ds = WSOLVideoDataset(md, data_root, "test", C.OpenImages,
+                          PairedTransform(40, 32, train=False), kc,
+                          crop_size=32)
+    pipe = DataPipeline(ds, 8, kc, shuffle=False, num_workers=1)
+    model = create_model_from_args(args)
+    from tcam_wsol_video_tpu.models.factory import init_model
+    variables = init_model(model, kc.key("init"), (1, 32, 32, 3))
+    ev = CamEvaluator(model, args, ds, pipe, "test")
+    res = ev.run(jax.device_get(variables), kc.key("e"))
+    assert "pxap" in res and 0.0 <= res["pxap"] <= 100.0
+    assert res["localization"] == res["pxap"]
