@@ -327,3 +327,73 @@ def test_openimages_pxap_eval_branch(tmp_path_factory):
     res = ev.run(jax.device_get(variables), kc.key("e"))
     assert "pxap" in res and 0.0 <= res["pxap"] <= 100.0
     assert res["localization"] == res["pxap"]
+
+
+def test_dp_sharding_matches_single_device(synth):
+    """Same global batch: the dp-sharded step (XLA-inserted gradient psum)
+    must produce the same loss and updated params as one device."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tcam_wsol_video_tpu.cams.seeding import TCAMSeederCfg
+    from tcam_wsol_video_tpu.engine.lr import build_lr_fn
+    from tcam_wsol_video_tpu.engine.optim import build_optimizer
+    from tcam_wsol_video_tpu.engine.state import TrainState
+    from tcam_wsol_video_tpu.engine.steps import make_train_step
+    from tcam_wsol_video_tpu.losses.build import get_loss
+    from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
+                                                    init_model)
+    from tcam_wsol_video_tpu.parallel import mesh as pmesh
+
+    crop, batch = 16, 8
+    args = _small_args(C.TCAM, crop_size=crop, batch_size=batch,
+                       sl_tc=True, sl_tc_max=2, sl_tc_min=2,
+                       max_sizepos_tc=True)
+    model = create_model_from_args(args)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, crop, crop, 3))
+    ml = get_loss(args)
+    opt = build_optimizer(args, variables["params"], build_lr_fn(args))
+    state = TrainState.create(variables, opt.init(variables["params"]), 1.0)
+    step = make_train_step(model, ml, opt, args,
+                           TCAMSeederCfg(min_=2, max_=2, ksz=1))
+
+    rng = np.random.default_rng(0)
+    b = {
+        "image": rng.standard_normal((batch, crop, crop, 3)
+                                     ).astype(np.float32),
+        "label": rng.integers(0, 10, (batch,)).astype(np.int32),
+        "raw_img": (rng.random((batch, crop, crop, 3)) * 255
+                    ).astype(np.float32),
+        "std_cam": rng.random((batch, crop, crop)).astype(np.float32),
+        "roi": np.ones((batch, crop, crop), np.int32),
+        "msk_bbox": np.ones((batch, crop, crop), np.float32),
+        "seq_iter": np.arange(batch, dtype=np.float32),
+        "frm_iter": np.zeros((batch,), np.float32),
+        "fg_size": np.full((batch,), 0.3, np.float32),
+        "valid": np.ones((batch,), bool),
+    }
+    sw = ml.switches(0)
+    key = jax.random.PRNGKey(3)
+    sw_w = jnp.float32(0.0)
+
+    # single device
+    s1, m1 = step(state, {k: jnp.asarray(v) for k, v in b.items()},
+                  sw, key, sw_w)
+
+    # 8-device dp mesh
+    mesh = pmesh.make_mesh(dp=8, mp=1, devices=jax.devices()[:8])
+    bsh = NamedSharding(mesh, P(pmesh.DP))
+    repl = NamedSharding(mesh, P())
+    b8 = {k: jax.device_put(v, bsh) for k, v in b.items()}
+    s8, m8 = step(jax.device_put(state, repl), b8,
+                  jax.device_put(sw, repl), jax.device_put(key, repl),
+                  jax.device_put(sw_w, repl))
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-4)
+    # reduction order differs across shards: tolerate fp noise (~1e-4 abs
+    # after one step at head-lr 10x); a broken psum would be O(1) off
+    # (e.g. 8x-scaled gradients)
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p8 = jax.tree_util.tree_leaves(s8.params)
+    for a, c in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=5e-4)
