@@ -28,6 +28,12 @@ def param_group_labels(params: dict, encoder_name: str) -> dict:
         if (encoder_name.startswith("resnet") and len(keys) >= 2
                 and keys[0] == "encoder" and keys[1].startswith("layer4")):
             return "head"
+        # inception: the SPG conv blocks are classifier-rate (everything
+        # outside Mixed_*/Conv2d_* patterns, reference
+        # stdcl/classifier.py:70-80)
+        if (encoder_name == "inceptionv3" and len(keys) >= 2
+                and keys[0] == "encoder" and keys[1].startswith("SPG_")):
+            return "head"
         return "base"
     return jax.tree_util.tree_map_with_path(
         lambda path, _: label_path(path), params)

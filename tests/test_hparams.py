@@ -75,3 +75,41 @@ def test_defaults_match_reference_recipe_keys():
     assert cfg["seg_ignore_idx"] == -255
     assert cfg["cam_curve_interval"] == 0.001
     assert cfg["iou_threshold_list"] == [30, 50, 70]
+
+
+def test_param_group_labels():
+    """Classifier-rate groups (reference _get_model_params_for_opt,
+    instantiators.py:746-808): resnet layer4 + heads at lr_classifier_ratio,
+    inception SPG blocks likewise."""
+    from tcam_wsol_video_tpu.engine.optim import param_group_labels
+    params = {
+        "encoder": {"layer1_0": {"conv1": {"kernel": 0}},
+                    "layer4_2": {"conv3": {"kernel": 0}}},
+        "classification_head": {"fc": {"kernel": 0, "bias": 0}},
+        "decoder": {"block_0": {"conv1": {"kernel": 0}}},
+    }
+    labels = param_group_labels(params, "resnet50")
+    assert labels["encoder"]["layer1_0"]["conv1"]["kernel"] == "base"
+    assert labels["encoder"]["layer4_2"]["conv3"]["kernel"] == "head"
+    assert labels["classification_head"]["fc"]["kernel"] == "head"
+    assert labels["decoder"]["block_0"]["conv1"]["kernel"] == "base"
+
+    params_i = {"encoder": {"Mixed_6e": {"branch1x1": {"conv": {"kernel": 0}}},
+                            "SPG_A3_2b": {"conv": {"kernel": 0}}},
+                "classification_head": {"fc": {"kernel": 0}}}
+    labels_i = param_group_labels(params_i, "inceptionv3")
+    assert labels_i["encoder"]["Mixed_6e"]["branch1x1"]["conv"]["kernel"] \
+        == "base"
+    assert labels_i["encoder"]["SPG_A3_2b"]["conv"]["kernel"] == "head"
+
+
+def test_lr_schedules():
+    from tcam_wsol_video_tpu.engine.lr import cosine_lr, step_lr
+    f = step_lr(0.01, step_size=2, gamma=0.1, min_lr=1e-5)
+    assert f(0) == 0.01 and f(1) == 0.01
+    assert f(2) == pytest.approx(0.001)
+    assert f(100) == 1e-5                      # floor
+    g = cosine_lr(0.01, t_max=10, min_lr=1e-5)
+    assert g(0) == pytest.approx(0.01)
+    assert g(10) == pytest.approx(1e-5)
+    assert 1e-5 < g(5) < 0.01
