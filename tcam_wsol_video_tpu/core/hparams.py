@@ -100,6 +100,9 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "fast_eval": True,              # coarser tau sweep on val
         "on_device_eval": False,        # covering-box fast path (not the
                                         # contour protocol; diagnostics only)
+        "crf_post_process": False,      # mean-field CRF refinement of eval
+                                        # CAMs (reference DenseCRFFilter)
+        "crf_pp_iters": 5,
 
         # ---------------------------------------------------------- model
         "task": constants.STD_CL,

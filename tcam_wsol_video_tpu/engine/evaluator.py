@@ -134,8 +134,10 @@ class CamEvaluator:
                     cls_vars.get("batch_stats", {}), images)
                 cams = None
             else:
+                raw = (jnp.asarray(batch["raw_img"])
+                       if self.args.crf_post_process else None)
                 cams, logits = self.eval_step(params, bstats, images,
-                                              targets, key)
+                                              targets, key, raw)
             valid = batch["valid"]
             logits_np = np.asarray(logits)
             preds = np.argsort(-logits_np, axis=-1, kind="stable")

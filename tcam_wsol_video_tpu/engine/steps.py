@@ -255,8 +255,12 @@ def make_cam_eval_step(model, args, classifier_model=None):
             raise NotImplementedError(method)
         return cam, logits
 
+    use_crf_pp = bool(getattr(args, "crf_post_process", False))
+    crf_pp_iters = int(getattr(args, "crf_pp_iters", 5))
+
     @jax.jit
-    def eval_step(params, batch_stats, images, targets, key):
+    def eval_step(params, batch_stats, images, targets, key,
+                  raw_images=None):
         if task == constants.STD_CL:
             cam, logits = _std_cam(params, batch_stats, images, targets, key)
         elif task in (constants.F_CL, constants.TCAM):
@@ -272,6 +276,15 @@ def make_cam_eval_step(model, args, classifier_model=None):
             cam = resize_bilinear(cam[..., None], (crop, crop),
                                   align_corners=False)[..., 0]
         cam = jnp.clip(cam, 0.0, 1.0)
+        if use_crf_pp and raw_images is not None:
+            # inference-time mean-field refinement (reference
+            # DenseCRFFilter capability, crf_post_processing.py)
+            from tcam_wsol_video_tpu.ops.crf_inference import \
+                mean_field_refine
+            probs = jnp.stack([1.0 - cam, cam], axis=-1)
+            cam = mean_field_refine(raw_images, probs,
+                                    num_iters=crf_pp_iters)[..., 1]
+            cam = jnp.clip(jnp.nan_to_num(cam), 0.0, 1.0)
         return cam, logits
 
     return eval_step

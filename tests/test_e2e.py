@@ -397,3 +397,24 @@ def test_dp_sharding_matches_single_device(synth):
     for a, c in zip(p1, p8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=5e-4)
+
+
+def test_eval_with_crf_post_processing(synth):
+    """--crf_post_process: mean-field refinement runs inside the eval step
+    and returns valid probability CAMs."""
+    from tcam_wsol_video_tpu.engine.evaluator import CamEvaluator
+    from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
+                                                    init_model)
+
+    args = _small_args(crf_post_process=True, crf_pp_iters=2)
+    kc = KeyChain(0)
+    md = load_split_metadata(synth["metadata_root"], "val")
+    ds = WSOLVideoDataset(md, synth["data_root"], "val", C.YTOV1,
+                          PairedTransform(40, 32, train=False), kc,
+                          crop_size=32)
+    pipe = DataPipeline(ds, 8, kc, shuffle=False, num_workers=1)
+    model = create_model_from_args(args)
+    variables = init_model(model, kc.key("init"), (1, 32, 32, 3))
+    ev = CamEvaluator(model, args, ds, pipe, "val")
+    res = ev.run(jax.device_get(variables), kc.key("e"))
+    assert 0.0 <= res["localization"] <= 100.0
