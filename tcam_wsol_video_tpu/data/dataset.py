@@ -245,6 +245,46 @@ class WSOLVideoDataset:
             "fg_size": fg_size,
         }
 
+    def cam_roi_for(self, frame_id: str, i: int, j: int, flip: bool):
+        """CAM-side transform + ROI for one frame given the image's
+        geometric params — used by the native batch loader so the stored
+        CAM undergoes exactly the image's crop/flip.
+
+        Returns (std_cam (c,c), has_cam, roi (c,c), msk_bbox (c,c),
+        fg_size)."""
+        from tcam_wsol_video_tpu.data.transforms import _resize_cam
+        c = self.crop_size
+        cam = self._fused_cam(frame_id)
+        roi = np.zeros((c, c), np.int64)
+        msk_bbox = np.ones((c, c), np.float32)
+        if cam is None:
+            return (np.zeros((c, c), np.float32), np.float32(0.0),
+                    roi.astype(np.int32), msk_bbox, np.float32(0.0))
+        if self.transform.train:
+            r = self.transform.resize_size
+            cam_t = _resize_cam(cam, (r, r))[i:i + c, j:j + c]
+            if flip:
+                cam_t = cam_t[:, ::-1]
+        else:
+            cam_t = _resize_cam(cam, (c, c))
+        cam_t = np.clip(np.ascontiguousarray(cam_t), 0.0, 1.0)
+        if self.use_roi:
+            th = None
+            if self.sl_tc_knn == 0 and self.cam_store is not None:
+                stored = self.cam_store.thresholds
+                if stored is not None and frame_id in stored:
+                    th = stored[frame_id]
+            roi_np, msk_bbox, _ = roi_one_cam_np(
+                cam_t, self.roi_method, self.p_min_area_roi, thresh=th)
+            roi = roi_np
+        if self.use_roi and roi.sum() > 0:
+            fg_size = np.float32((cam_t * (roi > 0)).sum() / (c * c))
+        else:
+            fg_size = np.float32(cam_t.mean())
+        return (cam_t.astype(np.float32), np.float32(1.0),
+                roi.astype(np.int32), np.asarray(msk_bbox, np.float32),
+                fg_size)
+
     def get_item(self, idx: int) -> List[dict]:
         """All frames for this index (1 or clip_len dicts, clip-ordered)."""
         ids = self.sample_ids(idx)

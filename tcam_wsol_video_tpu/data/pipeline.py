@@ -102,11 +102,11 @@ class DataPipeline:
         return -(-n // clips_per_batch)
 
     def _native_fast_path_ok(self) -> bool:
-        """The C++ batch loader covers plain frames without CAM pairing:
-        eval splits and CAM-less training."""
+        """The C++ batch loader covers single-frame items (clips still go
+        through the python path); CAM pairing + ROI run host-side with the
+        same geometric params."""
         from tcam_wsol_video_tpu.data import native_loader
-        return (self.ds.cam_store is None and not self.ds.use_roi
-                and self.ds.knn_tc == 0 and native_loader.available())
+        return self.ds.knn_tc == 0 and native_loader.available()
 
     def _epoch_native(self, epoch: int, idxs: np.ndarray,
                       target: int) -> Iterator[Dict[str, np.ndarray]]:
@@ -139,17 +139,29 @@ class DataPipeline:
                 paths, resize=r, crop=c, xs=np.asarray(xs),
                 ys=np.asarray(ys), flips=np.asarray(flips))
             n = len(fids)
+            cams = np.zeros((n, c, c), np.float32)
+            has = np.zeros((n,), np.float32)
+            rois = np.zeros((n, c, c), np.int32)
+            msks = np.ones((n, c, c), np.float32)
+            fgs = np.zeros((n,), np.float32)
+            if ds.cam_store is not None:
+                # CAM side stays host python (tiny arrays) with the SAME
+                # crop/flip as the native image decode
+                for m, fid in enumerate(fids):
+                    (cams[m], has[m], rois[m], msks[m],
+                     fgs[m]) = ds.cam_roi_for(
+                        fid, ys[m], xs[m], bool(flips[m]))
             batch = {
                 "image": norm,
                 "label": np.asarray(labels, np.int32),
                 "raw_img": raw,
-                "std_cam": np.zeros((n, c, c), np.float32),
-                "has_cam": np.zeros((n,), np.float32),
+                "std_cam": cams,
+                "has_cam": has,
                 "seq_iter": chunk.astype(np.float32),
                 "frm_iter": np.zeros((n,), np.float32),
-                "roi": np.zeros((n, c, c), np.int32),
-                "msk_bbox": np.ones((n, c, c), np.float32),
-                "fg_size": np.zeros((n,), np.float32),
+                "roi": rois,
+                "msk_bbox": msks,
+                "fg_size": fgs,
                 "image_id": fids,
             }
             if self.drop_remainder and n < self.batch_size:

@@ -166,3 +166,54 @@ def test_tcam_without_cam_store_recomputes_seeds(synth, tmp_path_factory):
     assert tr._recompute_cams
     m = tr.train_epoch(0)
     assert np.isfinite(m["loss"])
+
+
+def test_native_campaired_matches_python_pipeline(synth, tmp_path_factory):
+    """CAM-paired native path: the stored CAM undergoes exactly the native
+    image decode's crop/flip — std_cam/roi must match the python path."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    from tcam_wsol_video_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+
+    store_dir = str(tmp_path_factory.mktemp("store_np"))
+    store = CamStore(store_dir)
+    md_tr = load_split_metadata(synth["metadata_root"], "train")
+    kc = KeyChain(4)
+    probe = WSOLVideoDataset(md_tr, synth["data_root"], "train", C.YTOV1,
+                             PairedTransform(40, 32, train=False), kc,
+                             crop_size=32)
+    rng = np.random.default_rng(0)
+    ths = {}
+    for frames in probe.index_of_frames.values():
+        for fid in frames:
+            cam = rng.random((16, 16)).astype(np.float32)
+            store.save_cam(fid, cam)
+            ths[fid] = 0.0
+    store.save_thresholds(ths)
+
+    args = _args(C.TCAM, synth, sl_tc=True, sl_tc_use_roi=True)
+
+    def build(native):
+        ds = WSOLVideoDataset(
+            md_tr, synth["data_root"], "train", C.YTOV1,
+            PairedTransform(40, 32, train=True), KeyChain(4), crop_size=32,
+            cam_store=CamStore(store_dir), use_roi=True,
+            roi_method=args.sl_tc_roi_method)
+        pipe = DataPipeline(ds, 4, KeyChain(4), num_workers=1)
+        if not native:
+            pipe._native_fast_path_ok = lambda: False
+        return next(iter(pipe.epoch(2)))
+
+    b_native = build(True)
+    b_python = build(False)
+    assert b_native["image_id"] == b_python["image_id"]
+    np.testing.assert_allclose(b_native["std_cam"], b_python["std_cam"],
+                               atol=1e-6)
+    np.testing.assert_array_equal(b_native["roi"], b_python["roi"])
+    np.testing.assert_allclose(b_native["fg_size"], b_python["fg_size"],
+                               atol=1e-6)
+    # images: same geometry, different resize filter (native vs PIL)
+    assert np.abs(b_native["raw_img"] - b_python["raw_img"]).mean() < 8.0
