@@ -418,3 +418,32 @@ def test_eval_with_crf_post_processing(synth):
     ev = CamEvaluator(model, args, ds, pipe, "val")
     res = ev.run(jax.device_get(variables), kc.key("e"))
     assert 0.0 <= res["localization"] <= 100.0
+
+
+@pytest.mark.parametrize("encoder", ["vgg16", "inceptionv3"])
+def test_other_encoders_train_smoke(synth, encoder, tmp_path_factory):
+    """One STD_CL epoch with the non-ResNet encoders: forward/backward,
+    CAM eval and metrics all run."""
+    from tcam_wsol_video_tpu.engine.trainer import Trainer
+    from tcam_wsol_video_tpu.models.factory import create_model_from_args
+
+    args = _small_args(max_epochs=1, lr=0.01, encoder_name=encoder,
+                       outd=str(tmp_path_factory.mktemp("exps_enc")))
+    kc = KeyChain(0)
+    md_tr = load_split_metadata(synth["metadata_root"], "train")
+    ds_tr = WSOLVideoDataset(md_tr, synth["data_root"], "train", C.YTOV1,
+                             PairedTransform(40, 32, train=True), kc,
+                             crop_size=32)
+    pipe_tr = DataPipeline(ds_tr, args.batch_size, kc, num_workers=2)
+    md_v = load_split_metadata(synth["metadata_root"], "val")
+    ds_v = WSOLVideoDataset(md_v, synth["data_root"], "val", C.YTOV1,
+                            PairedTransform(40, 32, train=False), kc,
+                            crop_size=32)
+    eval_pipes = {"val": (ds_v, DataPipeline(ds_v, 8, kc, shuffle=False,
+                                             num_workers=2))}
+    model = create_model_from_args(args)
+    tr = Trainer(args, model, pipe_tr, eval_pipes, keychain=kc)
+    m = tr.train_epoch(0)
+    assert np.isfinite(m["loss"])
+    res = tr.evaluate(0, "val")
+    assert 0.0 <= res["localization"] <= 100.0
