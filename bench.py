@@ -37,7 +37,7 @@ def main() -> None:
     from tcam_wsol_video_tpu.models.factory import create_model_from_args
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    batch = 64 if on_tpu else 8
+    batch = 128 if on_tpu else 8
     crop = 224 if on_tpu else 64
     iters = 20 if on_tpu else 3
 
