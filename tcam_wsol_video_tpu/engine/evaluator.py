@@ -102,6 +102,13 @@ class CamEvaluator:
     def run(self, variables: dict, key: jax.Array) -> Dict[str, float]:
         params = variables["params"]
         bstats = variables.get("batch_stats", {})
+        if (self.args.compute_dtype == "bfloat16"
+                and jax.default_backend() == "tpu"):
+            # pre-cast once instead of per-call f32->bf16 weight casts
+            # inside the program (one HBM read per layer saved)
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if getattr(x, "dtype", None) == jnp.float32 else x, params)
 
         # OpenImages evaluates PxAP against pixel masks instead of boxes
         # (reference MaskEvaluator, wsol_metrics.py:484-584)
