@@ -1,19 +1,26 @@
-"""Flagship benchmark: TCAM (UnetTCAM / ResNet-50) inference throughput.
+"""Flagship benchmark: TCAM (UnetTCAM / ResNet-50) throughput.
 
-Measures frames/sec/chip of the jitted batched eval path (forward +
-softmax FCAM extraction + bilinear resize + clip) at 224x224 — the hot
-loop of the reference's CorLoc evaluation, which pushes ONE frame at a
-time through the model (/root/reference/dlib/learning/
-inference_wsol.py:332-337).
+Two measurements, two JSON lines (the eval headline prints LAST):
+
+1. train frames/sec/chip of the FULL stage-2 TCAM train step — forward,
+   seed sampling, self-learning CE, exact on-device CRF (sl+crf+sizes),
+   backward, optimizer update — at 224x224, the loop a 100-epoch recipe
+   lives in (reference train_wsol.py:1107-1184, CRF via a
+   GPU->CPU->C++ round trip in dense_crf_loss.py:55-60).
+2. eval frames/sec/chip of the jitted batched eval path (forward +
+   softmax FCAM extraction + bilinear resize + clip) — the hot loop of
+   the reference's CorLoc evaluation, which pushes ONE frame at a time
+   through the model (inference_wsol.py:332-337).
 
 Baseline: the reference repo publishes no machine-readable numbers
 (BASELINE.md); we anchor to a measured-order estimate of the PyTorch
 reference eval loop on V100 — ~100 frames/s at batch size 1 with AMP
 (ResNet-50 + U-Net decoder + per-sample python glue).  vs_baseline is
 ours / 100.  The build's north-star is >= 5x that per chip
-(/root/repo/BASELINE.json).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+(/root/repo/BASELINE.json).  The train line anchors to ~55 frames/s
+(V100 AMP bs32 TCAM steps at ~580 ms incl. the CPU CRF round trip —
+measured-order estimate from the reference's own CRF timing test,
+dense_crf_loss.py:131-198).
 """
 from __future__ import annotations
 
@@ -25,6 +32,103 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_V100_FRAMES_PER_SEC = 100.0
+REFERENCE_V100_TRAIN_FRAMES_PER_SEC = 55.0
+
+
+def bench_train_step() -> dict:
+    """Full TCAM stage-2 train step (sl + exact CRF + size losses)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tcam_wsol_video_tpu.cams.seeding import TCAMSeederCfg
+    from tcam_wsol_video_tpu.core import constants
+    from tcam_wsol_video_tpu.core.hparams import (HParams, finalize,
+                                                  get_config)
+    from tcam_wsol_video_tpu.engine.lr import build_lr_fn
+    from tcam_wsol_video_tpu.engine.optim import build_optimizer
+    from tcam_wsol_video_tpu.engine.state import TrainState
+    from tcam_wsol_video_tpu.engine.steps import make_train_step
+    from tcam_wsol_video_tpu.losses.build import get_loss
+    from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
+                                                    init_model)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    batch = 32 if on_tpu else 4
+    crop = 224 if on_tpu else 32
+    iters = 10 if on_tpu else 2
+
+    cfg = get_config(constants.YTOV1)
+    cfg.update(task=constants.TCAM, arch=constants.UNETTCAM,
+               crop_size=crop, batch_size=batch,
+               compute_dtype="bfloat16" if on_tpu else "float32",
+               sl_tc=True, sl_tc_max=1000, sl_tc_min=1000,
+               sl_tc_use_roi=True, sl_tc_seed_tech=constants.SEED_WEIGHTED,
+               crf_tc=True, crf_tc_lambda=2e-9,
+               max_sizepos_tc=True, max_sizepos_tc_lambda=0.01)
+    args = finalize(HParams(cfg))
+
+    model = create_model_from_args(args)
+    variables = init_model(model, jax.random.PRNGKey(0),
+                           (1, crop, crop, 3))
+    ml = get_loss(args)
+    opt = build_optimizer(args, variables["params"], build_lr_fn(args))
+    state = TrainState.create(variables, opt.init(variables["params"]),
+                              args.elb_init_t)
+    seeder_cfg = TCAMSeederCfg(
+        seed_tech=args.sl_tc_seed_tech, min_=args.sl_tc_min,
+        max_=args.sl_tc_max, min_p=args.sl_tc_min_p,
+        max_p=args.sl_tc_max_p, ksz=args.sl_tc_ksz,
+        use_roi=args.sl_tc_use_roi)
+    train_step = make_train_step(model, ml, opt, args, seeder_cfg)
+
+    rng = np.random.default_rng(0)
+    batch_d = {
+        "image": jnp.asarray(rng.standard_normal(
+            (batch, crop, crop, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, args.num_classes, (batch,)
+                                          ).astype(np.int32)),
+        "raw_img": jnp.asarray((rng.random((batch, crop, crop, 3)) * 255
+                                ).astype(np.float32)),
+        "std_cam": jnp.asarray(rng.random((batch, crop, crop)
+                                          ).astype(np.float32)),
+        "roi": jnp.ones((batch, crop, crop), jnp.int32),
+        "msk_bbox": jnp.ones((batch, crop, crop), jnp.float32),
+        "seq_iter": jnp.arange(batch, dtype=jnp.float32),
+        "frm_iter": jnp.zeros((batch,), jnp.float32),
+        "fg_size": jnp.full((batch,), 0.3, jnp.float32),
+        "valid": jnp.ones((batch,), bool),
+    }
+    switches = ml.switches(0)
+    seed_w = jnp.float32(1.0)
+
+    @jax.jit
+    def timed_loop(state, batch_d, switches, seed_w, key):
+        def body(i, carry):
+            st, acc = carry
+            k = jax.random.fold_in(key, i)
+            st, metrics = train_step(st, batch_d, switches, k, seed_w)
+            return st, acc + metrics["loss"]
+        return jax.lax.fori_loop(0, iters, body,
+                                 (state, jnp.float32(0.0)))
+
+    _, acc = timed_loop(state, batch_d, switches, seed_w,
+                        jax.random.PRNGKey(0))
+    _ = float(np.asarray(acc))  # compile + settle (readback)
+    t0 = time.perf_counter()
+    _, acc = timed_loop(state, batch_d, switches, seed_w,
+                        jax.random.PRNGKey(1))
+    _ = float(np.asarray(acc))
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    return {
+        "metric": "TCAM(ResNet-50+UnetTCAM) train frames/sec/chip "
+                  f"(sl+CRF+sizes) @{crop}px bs{batch}",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / REFERENCE_V100_TRAIN_FRAMES_PER_SEC, 3),
+        "ms_per_step": round(1000.0 * dt / iters, 1),
+    }
 
 
 def main() -> None:
@@ -88,12 +192,19 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
+    # train line first; the eval headline prints LAST (drivers that parse
+    # a single JSON line take the final one)
+    train_line = bench_train_step()
+    print(json.dumps(train_line))
     print(json.dumps({
         "metric": "TCAM(ResNet-50+UnetTCAM) eval frames/sec/chip @"
                   f"{crop}px bs{batch}",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / REFERENCE_V100_FRAMES_PER_SEC, 3),
+        "train_frames_per_sec_chip": train_line["value"],
+        "train_vs_baseline": train_line["vs_baseline"],
+        "train_ms_per_step": train_line["ms_per_step"],
     }))
 
 

@@ -51,7 +51,9 @@ def main(argv=None) -> Dict[str, float]:
         PairedTransform(args.resize_size, args.crop_size, train=False),
         kc, crop_size=args.crop_size)
     pipe = DataPipeline(ds, args.eval_batch_size, kc, shuffle=False,
-                        num_workers=args.num_workers)
+                        num_workers=args.num_workers,
+                        num_shards=jax.process_count(),
+                        shard_index=jax.process_index())
 
     # resolve the checkpoint BEFORE the (slow) model init so a wrong
     # --exp_dir fails in milliseconds, not after a full XLA compile
@@ -86,10 +88,23 @@ def main(argv=None) -> Dict[str, float]:
                     only=["encoder", "classification_head"])
         classifier = (cls_model, cls_vars)
 
+    # multi-device eval: shard the batch over a dp mesh when the eval
+    # batch divides evenly (single chip = 1x1 mesh, same code path)
+    from tcam_wsol_video_tpu.parallel import mesh as pmesh
+    pmesh.maybe_init_distributed()
+    n_fit = jax.device_count() // args.mesh_mp
+    dp = args.mesh_dp if args.mesh_dp != -1 else n_fit
+    while dp > 1 and args.eval_batch_size % dp:
+        dp -= 1
+    mesh = pmesh.make_mesh(dp=dp, mp=args.mesh_mp,
+                           devices=jax.devices()[:dp * args.mesh_mp])
     ev = CamEvaluator(model, args, ds, pipe, ns.split,
                       fast=False, on_device=args.on_device_eval,
-                      classifier=classifier)
-    res = ev.run(variables, kc.key("eval", ns.split))
+                      classifier=classifier,
+                      sharding=pmesh.batch_sharding(mesh))
+    res = ev.run(variables, kc.key("eval", ns.split),
+                 reduce_fn=(lambda x: pmesh.psum_across(x, mesh))
+                 if jax.process_count() > 1 else None)
     res.pop("curves", None)
     printable = {k: v for k, v in res.items()
                  if isinstance(v, (int, float, list))}

@@ -54,6 +54,7 @@ def build_data(args: HParams, kc: KeyChain):
         cand = os.path.join(args.data_root, meta_root, args.dataset)
         if os.path.isdir(cand):
             meta_root = cand
+    args.metadata_root = meta_root  # resolved path (bucket loop reads it)
     cam_store = CamStore(args.std_cams_folder) if args.std_cams_folder \
         else None
 
@@ -78,8 +79,13 @@ def build_data(args: HParams, kc: KeyChain):
             md, data_root, split, args.dataset,
             PairedTransform(args.resize_size, args.crop_size, train=False),
             kc, crop_size=args.crop_size)
+        # eval splits shard per process too (reference attaches a
+        # DistributedSampler to all 3 splits, wsol_loader.py:1008-1012);
+        # the evaluator then psums counters across processes
         pipe = DataPipeline(ds, args.eval_batch_size, kc, shuffle=False,
-                            num_workers=args.num_workers)
+                            num_workers=args.num_workers,
+                            num_shards=jax.process_count(),
+                            shard_index=jax.process_index())
         eval_pipes[split] = (ds, pipe)
     return train_pipe, eval_pipes
 

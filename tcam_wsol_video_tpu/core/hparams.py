@@ -86,6 +86,14 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "metadata_root": constants.RELATIVE_META_ROOT,
         "std_cams_folder": "",          # stage-1 CAM store (TCAM input)
         "num_workers": 4,
+        # bucketed train-set streaming (ILSVRC only): the train split is
+        # pre-chunked into nbr_chunks metadata files grouped into buckets
+        # of bucket_sz; the trainer iterates buckets per epoch (reference
+        # config.py:115-118, constants.py:208-222)
+        "ds_chunkable": dataset in constants.BUCKETED_DATASETS,
+        "nbr_chunks": (240 if dataset in constants.BUCKETED_DATASETS
+                       else -1),
+        "bucket_sz": 8,
         "checkpoint_save": 100,         # steps between rolling checkpoints
         "keep_last_n_checkpoints": 1,
         "save_dir_models": "",
@@ -125,7 +133,13 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "im_rec_lambda": 1.0,
         "im_rec_elb": False,
 
-        # dtype policy: params fp32; compute bf16 on TPU by default.
+        # dtype policy: params fp32; training compute bf16 (the AMP
+        # analogue, reference config.py:477), evaluation fp32 by default
+        # (amp_eval=False, config.py:478 — bf16 reassociation can flip
+        # single cv2 thresholds between compiles); set
+        # eval_compute_dtype=bfloat16 for ~2x faster eval sweeps — the
+        # evaluator rebuilds the model under this dtype when it differs
+        # (engine/evaluator.py)
         "compute_dtype": "bfloat16",
         "eval_compute_dtype": "float32",
 
@@ -263,7 +277,6 @@ def get_config(dataset: str) -> Dict[str, Any]:
         # mp is reserved for model-parallel annotations.
         "mesh_dp": -1,                  # -1: all visible devices
         "mesh_mp": 1,
-        "use_shard_map": False,
 
         # ---------------------------------------------------------- misc
         "log_every": 10,
@@ -373,6 +386,19 @@ def finalize(args: HParams) -> HParams:
 
     if args.sl_tc_knn_mode == constants.TIME_INSTANT:
         assert args.sl_tc_knn == 0
+
+    # sl_block/sl_tc_block are parsed for recipe compatibility but pinned
+    # at 1: the reference also never consumes them (documented intent at
+    # /root/reference/dlib/configure/config.py:313-315, zero call sites in
+    # dlib/cams/*_seeding.py — seeds are always per-pixel)
+    assert args.sl_block == 1 and args.sl_tc_block == 1, (
+        "block seeding is a no-op upstream; only block=1 is supported")
+
+    if args.ds_chunkable:
+        from tcam_wsol_video_tpu.data.ilsvrc_buckets import num_buckets
+        args.nbr_buckets = num_buckets(args.nbr_chunks, args.bucket_sz)
+    else:
+        args.nbr_buckets = 1
 
     args.std_cl_method_requires_grad = constants.METHOD_REQU_GRAD[args.method]
     args.tag = experiment_tag(args)

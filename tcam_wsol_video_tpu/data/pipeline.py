@@ -19,7 +19,7 @@ from __future__ import annotations
 import collections
 import concurrent.futures as cf
 import itertools
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator, List, Optional
 
 import jax
 import numpy as np
@@ -82,20 +82,25 @@ class DataPipeline:
         self.shard_index = shard_index
         self.drop_remainder = drop_remainder
 
-    def _epoch_indices(self, epoch: int) -> np.ndarray:
-        n = len(self.ds)
-        order = np.arange(n)
+    def _epoch_indices(self, epoch: int,
+                       subset: Optional[np.ndarray] = None) -> np.ndarray:
+        """subset: optional dataset indices to restrict this epoch to
+        (the ILSVRC bucket loop iterates one bucket's subset at a
+        time)."""
+        order = (np.asarray(subset, np.int64) if subset is not None
+                 else np.arange(len(self.ds)))
+        n = len(order)
         if self.shuffle:
             rng = self.kc.numpy_rng("shuffle", self.ds.split, epoch)
-            order = rng.permutation(n)
+            order = rng.permutation(order)
         # contiguous per-shard slice with tail padding (same contract as
         # DistributedSampler: each shard sees ceil(n/shards) samples)
         per = -(-n // self.num_shards)
         padded = np.concatenate([order, order[:per * self.num_shards - n]])
         return padded[self.shard_index::self.num_shards]
 
-    def steps_per_epoch(self) -> int:
-        n = len(self._epoch_indices(0))
+    def steps_per_epoch(self, subset: Optional[np.ndarray] = None) -> int:
+        n = len(self._epoch_indices(0, subset))
         clips_per_batch = self.batch_size
         if self.drop_remainder:
             return n // clips_per_batch
@@ -168,10 +173,11 @@ class DataPipeline:
                 return
             yield pad_batch_by_tiling(batch, target, 1)
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int, subset: Optional[np.ndarray] = None
+              ) -> Iterator[Dict[str, np.ndarray]]:
         """Yields batches of batch_size*clip_len frames (clip-major)."""
         self.ds.set_epoch(epoch)
-        idxs = self._epoch_indices(epoch)
+        idxs = self._epoch_indices(epoch, subset)
         clip_len = self.ds.clip_len
         target = self.batch_size * clip_len
 

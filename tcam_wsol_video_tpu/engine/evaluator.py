@@ -36,7 +36,8 @@ class CamEvaluator:
     def __init__(self, model, args, dataset, pipeline, split: str,
                  fast: bool = False, on_device: bool = False,
                  max_gt_boxes: int = 8, classifier=None,
-                 visual_dump_dir: str = "", visual_dump_n: int = 16):
+                 visual_dump_dir: str = "", visual_dump_n: int = 16,
+                 sharding=None):
         self.model = model
         self.args = args
         self.ds = dataset
@@ -52,7 +53,19 @@ class CamEvaluator:
         self.classifier = classifier
         self.visual_dump_dir = visual_dump_dir
         self.visual_dump_n = visual_dump_n
+        self.sharding = sharding  # batch sharding over the dp mesh axis
         self._visuals = []  # (image_id, raw_img, cam, gt_boxes)
+        # eval runs under its own dtype policy (the inference analogue of
+        # the reference's AMP autocast being train-only): rebuild the model
+        # at eval_compute_dtype when it differs from the train dtype
+        self.eval_dtype = (getattr(args, "eval_compute_dtype", None)
+                           or args.compute_dtype)
+        if self.eval_dtype != args.compute_dtype:
+            from tcam_wsol_video_tpu.models.factory import \
+                create_model_from_args
+            model = create_model_from_args(
+                args.replace(compute_dtype=self.eval_dtype))
+            self.model = model
         if args.task == constants.C_BOX:
             assert classifier is not None, "C_BOX eval needs the classifier"
             from tcam_wsol_video_tpu.engine.cbox_steps import \
@@ -61,14 +74,15 @@ class CamEvaluator:
         else:
             self.eval_step = make_cam_eval_step(model, args)
 
-    def _run_mask_eval(self, params, bstats, key) -> Dict[str, float]:
+    def _run_mask_eval(self, params, bstats, key,
+                       reduce_fn=None) -> Dict[str, float]:
         from tcam_wsol_video_tpu.data.folds import load_gt_mask
         from tcam_wsol_video_tpu.metrics.wsol import MaskEvaluator
         ev = MaskEvaluator(list(self.taus))
         n_correct, n_total = 0, 0
         for batch in self.pipe.epoch(0):
-            images = jnp.asarray(batch["image"])
-            targets = jnp.asarray(batch["label"])
+            images = self._put(batch["image"])
+            targets = self._put(batch["label"])
             cams, logits = self.eval_step(params, bstats, images, targets,
                                           key)
             cams_np = np.asarray(cams)
@@ -82,12 +96,21 @@ class CamEvaluator:
                 mask = load_gt_mask(self.ds.md, self.ds.data_root, iid,
                                     self.args.crop_size)
                 ev.accumulate(cams_np[i], mask)
+        if reduce_fn is not None:
+            ev.reduce_across_devices(reduce_fn)
+        pxap = ev.compute()
         return {
-            "pxap": ev.compute(),
-            "localization": ev.compute(),
+            "pxap": pxap,
+            "localization": pxap,
             "classification": 100.0 * n_correct / max(n_total, 1),
             "n_images": n_total,
         }
+
+    def _put(self, x):
+        """Batch array -> device, sharded over dp when a mesh is wired."""
+        if self.sharding is not None:
+            return jax.device_put(x, self.sharding)
+        return jnp.asarray(x)
 
     def _gt_batch(self, image_ids):
         g = self.max_gt_boxes
@@ -99,10 +122,15 @@ class CamEvaluator:
             valid[i, :len(b)] = True
         return boxes, valid
 
-    def run(self, variables: dict, key: jax.Array) -> Dict[str, float]:
+    def run(self, variables: dict, key: jax.Array,
+            reduce_fn=None) -> Dict[str, float]:
+        """reduce_fn: optional (np.ndarray) -> np.ndarray summing host-side
+        counters across data-parallel processes (the all-gather analogue of
+        /root/reference/dlib/metrics/wsol_metrics.py:372-388); None on a
+        single host."""
         params = variables["params"]
         bstats = variables.get("batch_stats", {})
-        if (self.args.compute_dtype == "bfloat16"
+        if (self.eval_dtype == "bfloat16"
                 and jax.default_backend() == "tpu"):
             # pre-cast once instead of per-call f32->bf16 weight casts
             # inside the program (one HBM read per layer saved)
@@ -115,7 +143,7 @@ class CamEvaluator:
         use_masks = (self.args.dataset == constants.OpenImages
                      and self.ds.md.mask_paths)
         if use_masks:
-            return self._run_mask_eval(params, bstats, key)
+            return self._run_mask_eval(params, bstats, key, reduce_fn)
 
         evaluator = BoxEvaluator(self.taus,
                                  self.args.iou_threshold_list,
@@ -132,8 +160,8 @@ class CamEvaluator:
 
         is_cbox = self.args.task == constants.C_BOX
         for batch in self.pipe.epoch(0):
-            images = jnp.asarray(batch["image"])
-            targets = jnp.asarray(batch["label"])
+            images = self._put(batch["image"])
+            targets = self._put(batch["label"])
             if is_cbox:
                 cls_vars = self.classifier[1]
                 boxes, box_valid, logits = self.eval_step(
@@ -141,7 +169,7 @@ class CamEvaluator:
                     cls_vars.get("batch_stats", {}), images)
                 cams = None
             else:
-                raw = (jnp.asarray(batch["raw_img"])
+                raw = (self._put(batch["raw_img"])
                        if self.args.crf_post_process else None)
                 cams, logits = self.eval_step(params, bstats, images,
                                               targets, key, raw)
@@ -203,6 +231,21 @@ class CamEvaluator:
                             (batch["image_id"][i], batch["raw_img"][i],
                              cams_np[i], gt_boxes[i][gt_valid[i]]))
 
+        if reduce_fn is not None:
+            # multi-host: each process evaluated its data shard; sum the
+            # counters before computing curves (reference all-gather,
+            # wsol_metrics.py:372-388, train_wsol.py:1422-1428)
+            n_correct_cl = int(reduce_fn(
+                np.asarray([n_correct_cl], np.float64))[0])
+            n_total = int(reduce_fn(np.asarray([n_total], np.float64))[0])
+            if self.on_device and dev_counters is not None:
+                dev_counters = jnp.asarray(
+                    reduce_fn(np.asarray(dev_counters)))
+                dev_count = int(reduce_fn(
+                    np.asarray([dev_count], np.float64))[0])
+            else:
+                evaluator.reduce_across_devices(reduce_fn)
+
         out: Dict[str, float] = {}
         if self.on_device:
             accs = np.asarray(device_eval.max_box_acc(
@@ -222,22 +265,16 @@ class CamEvaluator:
             out["curves"] = evaluator.curves
 
         out["n_images"] = n_total
-        # prediction overlays at the best tau (reference
-        # draw_some_best_pred, inference_wsol.py:700-800)
+        # per-IoU ordered prediction sheets + multi-panel figures at the
+        # best taus (reference _draw_some_best_pred,
+        # inference_wsol.py:700-1071)
         if self.visual_dump_dir and self._visuals and not self.on_device:
-            import os as _os
-
-            from tcam_wsol_video_tpu.metrics.wsol import scoremap_to_boxes
-            from tcam_wsol_video_tpu.viz.wsol_viz import plot_single
-            best_tau = evaluator.best_tau_list[
-                min(1, len(evaluator.best_tau_list) - 1)]  # IoU-50 point
-            for iid, raw, cam, gtb in self._visuals:
-                pb, _ = scoremap_to_boxes(cam, [best_tau],
-                                          self.args.multi_contour_eval)
-                plot_single(raw, cam, gtb, pb[0],
-                            _os.path.join(self.visual_dump_dir,
-                                          iid.replace("/", "_") + ".png"),
-                            tags={"tau": round(best_tau, 3)})
+            from tcam_wsol_video_tpu.viz.wsol_viz import \
+                ordered_prediction_sheets
+            ordered_prediction_sheets(
+                self._visuals, evaluator.best_tau_list,
+                self.args.iou_threshold_list,
+                self.args.multi_contour_eval, self.visual_dump_dir)
 
         # aggregate localization score (reference train_wsol.py:1515-1522)
         accs_only = [out[f"maxboxacc_{s}"]

@@ -36,6 +36,7 @@ from tcam_wsol_video_tpu.engine.state import TrainState
 from tcam_wsol_video_tpu.engine.steps import make_train_step
 from tcam_wsol_video_tpu.losses.build import get_loss
 from tcam_wsol_video_tpu.losses.elb import update_t
+from tcam_wsol_video_tpu.parallel import mesh as pmesh
 
 
 class PerformanceMeter:
@@ -85,6 +86,43 @@ class Trainer:
         self.state = TrainState.create(init_variables, opt_state,
                                        elb_init_t=args.elb_init_t)
 
+        # ------------------------------------------------- device mesh
+        # The DDP analogue (reference main.py:49 + DistributedSampler):
+        # batch sharded over dp, train state replicated; XLA inserts the
+        # gradient psum over ICI.  mesh_dp=-1 uses every visible device
+        # (falling back to the largest divisor of the per-step frame
+        # count so static batches always shard evenly).
+        frames = train_pipe.batch_size * getattr(train_pipe.ds,
+                                                 "clip_len", 1)
+        mp = args.mesh_mp
+        n_fit = jax.device_count() // mp
+        dp = args.mesh_dp
+        if dp == -1:
+            dp = n_fit
+            while dp > 1 and frames % dp:
+                dp -= 1
+            if dp < n_fit:
+                log(f"mesh: dp={dp} (largest divisor of {frames} "
+                    f"frames/step; {n_fit} devices visible)")
+        else:
+            assert frames % dp == 0, (
+                f"batch of {frames} frames/step not divisible by "
+                f"mesh_dp={dp}")
+        self.mesh = pmesh.make_mesh(dp=dp, mp=mp,
+                                    devices=jax.devices()[:dp * mp])
+        self.batch_sharding = pmesh.batch_sharding(self.mesh)
+        self.replicated_sharding = pmesh.replicated(self.mesh)
+        self.eval_sharding = (self.batch_sharding
+                              if args.eval_batch_size % dp == 0 else None)
+        self.state = jax.device_put(self.state, self.replicated_sharding)
+        self.is_master = jax.process_index() == 0
+        # host-side counter reduction across processes (no-op single-host)
+        self.reduce_fn = lambda x: pmesh.psum_across(x, self.mesh)
+
+        if classifier is not None:
+            classifier = (classifier[0],
+                          jax.device_put(classifier[1],
+                                         self.replicated_sharding))
         self.classifier = classifier
         seeder_cfg = None
         if args.task == constants.C_BOX:
@@ -141,8 +179,43 @@ class Trainer:
         }
         self.best_loc_variables = None
         self.best_cl_variables = None
+        # ILSVRC bucketed streaming (reference train_wsol.py:1081-1103):
+        # optional stage/cleanup hooks around each bucket
+        self.bucket_stager = None
+        self._id_to_index = None
         self.outd = os.path.join(args.outd, args.tag, args.exp_id)
         os.makedirs(self.outd, exist_ok=True)
+
+    # ----------------------------------------------------------- buckets
+    def _train_buckets(self):
+        """Bucket ids for this epoch; [None] when the dataset is not
+        chunked.  With a BucketStager attached, each bucket is staged to
+        local disk before training and cleaned up after (reference
+        prepare_next_bucket/delete_train, ilsvrc_manager.py:296-416)."""
+        if not getattr(self.args, "ds_chunkable", False):
+            yield None
+            return
+        buckets = range(self.args.nbr_buckets)
+        it = (self.bucket_stager(buckets) if self.bucket_stager is not None
+              else buckets)
+        for b in it:
+            yield b
+
+    def _bucket_subset(self, bucket):
+        """Dataset indices belonging to one bucket's chunk files."""
+        if bucket is None:
+            return None
+        from tcam_wsol_video_tpu.data.ilsvrc_buckets import bucket_image_ids
+        ids = bucket_image_ids(self.args.metadata_root, bucket,
+                               self.args.nbr_chunks, self.args.bucket_sz)
+        if self._id_to_index is None:
+            self._id_to_index = {
+                iid: i
+                for i, iid in enumerate(self.train_pipe.ds.md.image_ids)}
+        subset = np.asarray([self._id_to_index[i] for i in ids
+                             if i in self._id_to_index], np.int64)
+        assert subset.size, f"bucket {bucket} matched no training ids"
+        return subset
 
     # -------------------------------------------------------------- train
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -174,63 +247,89 @@ class Trainer:
                 self.model, self.master_loss, self.optimizer, args,
                 self._seeder_cfg, student_seed_source=True)
         if use_student:
-            s_params = self.best_loc_variables["params"]
-            s_bstats = self.best_loc_variables.get("batch_stats", {})
+            # replicated device copy, refreshed only when the best
+            # snapshot changes (avoids a host->device weight transfer
+            # per step)
+            if getattr(self, "_student_dev_epoch", None) != \
+                    self.meters["val_localization"].best_epoch:
+                self._student_dev = jax.device_put(
+                    self.best_loc_variables, self.replicated_sharding)
+                self._student_dev_epoch = \
+                    self.meters["val_localization"].best_epoch
+            s_params = self._student_dev["params"]
+            s_bstats = self._student_dev.get("batch_stats", {})
 
-        tot_loss, n_corr, n = 0.0, 0, 0
+        tot_loss, n_corr, n, n_steps = 0.0, 0, 0, 0
         t0 = time.time()
         from tcam_wsol_video_tpu.data.pipeline import device_prefetch
-        for i, batch in enumerate(device_prefetch(
-                self.train_pipe.epoch(epoch), size=2)):
-            key = self.kc.key("train", epoch, i)
-            dev_batch = {k: v for k, v in batch.items()
-                         if k != "image_id"}
-            if args.task == constants.C_BOX:
-                cls_model, cls_vars = self.classifier
-                self.state, metrics = self.train_step(
-                    self.state, dev_batch, switches, key,
-                    cls_vars["params"], cls_vars.get("batch_stats", {}))
-            elif use_student:
-                self.state, metrics = self._student_step(
-                    self.state, dev_batch, switches, key, seed_weighted,
-                    s_params, s_bstats)
-            elif self._recompute_cams:
-                cls_vars = self.classifier[1]
-                self.state, metrics = self.train_step(
-                    self.state, dev_batch, switches, key, seed_weighted,
-                    cls_vars["params"], cls_vars.get("batch_stats", {}))
-            else:
-                self.state, metrics = self.train_step(
-                    self.state, dev_batch, switches, key, seed_weighted)
-            tot_loss += float(metrics["loss"])
-            n_corr += int(metrics["n_correct"])
-            n += int(metrics["n"])
-            step = int(self.state.step)
-            if args.checkpoint_save > 0 and step % args.checkpoint_save == 0:
-                ckpt.save_checkpoint(self.outd, step, self.state)
-                ckpt.keep_last_n_checkpoints(self.outd,
-                                             args.keep_last_n_checkpoints)
-                self.save_meters()
-            if args.log_every and (i % args.log_every == 0):
-                log({"split": "train", "epoch": epoch, "it": i,
-                     "loss": float(metrics["loss"])}, step=step)
+        for bucket in self._train_buckets():
+            subset = self._bucket_subset(bucket)
+            for batch in device_prefetch(
+                    self.train_pipe.epoch(epoch, subset=subset), size=2,
+                    sharding=self.batch_sharding):
+                i = n_steps
+                key = self.kc.key("train", epoch, i)
+                dev_batch = {k: v for k, v in batch.items()
+                             if k != "image_id"}
+                if args.task == constants.C_BOX:
+                    cls_model, cls_vars = self.classifier
+                    self.state, metrics = self.train_step(
+                        self.state, dev_batch, switches, key,
+                        cls_vars["params"], cls_vars.get("batch_stats", {}))
+                elif use_student:
+                    self.state, metrics = self._student_step(
+                        self.state, dev_batch, switches, key, seed_weighted,
+                        s_params, s_bstats)
+                elif self._recompute_cams:
+                    cls_vars = self.classifier[1]
+                    self.state, metrics = self.train_step(
+                        self.state, dev_batch, switches, key, seed_weighted,
+                        cls_vars["params"], cls_vars.get("batch_stats", {}))
+                else:
+                    self.state, metrics = self.train_step(
+                        self.state, dev_batch, switches, key, seed_weighted)
+                tot_loss += float(metrics["loss"])
+                n_corr += int(metrics["n_correct"])
+                n += int(metrics["n"])
+                n_steps += 1
+                step = int(self.state.step)
+                if (self.is_master and args.checkpoint_save > 0
+                        and step % args.checkpoint_save == 0):
+                    # master-gated: every host holds identical replicated
+                    # state; only process 0 touches the filesystem
+                    ckpt.save_checkpoint(self.outd, step, self.state)
+                    ckpt.keep_last_n_checkpoints(
+                        self.outd, args.keep_last_n_checkpoints)
+                    self.save_meters()
+                if args.log_every and (i % args.log_every == 0):
+                    log({"split": "train", "epoch": epoch, "it": i,
+                         **({"bucket": bucket} if bucket is not None
+                            else {}),
+                         "loss": float(metrics["loss"])}, step=step)
 
         # epoch end: ELB anneal (reference on_epoch_end :967-976), then an
         # epoch-boundary checkpoint so resume restores the annealed t
         self.state = self.state.replace(
             elb_t=update_t(self.state.elb_t, args.elb_mulcoef,
                            args.elb_max_t))
-        if args.checkpoint_save > 0:
+        if self.is_master and args.checkpoint_save > 0:
             ckpt.save_checkpoint(self.outd, int(self.state.step), self.state)
             ckpt.keep_last_n_checkpoints(self.outd,
                                          args.keep_last_n_checkpoints)
             self.save_meters()
-        if args.plot_progress:
+        if self.is_master and args.plot_progress:
             self._plot_progress(epoch)
 
+        # each process trained on its data shard: reduce the epoch
+        # totals (reference sync_tensor_across_gpus,
+        # train_wsol.py:1214-1221); no-op on a single host
+        if jax.process_count() > 1:
+            tot_loss, n_corr, n, n_steps = self.reduce_fn(
+                np.asarray([tot_loss, n_corr, n, n_steps], np.float64))
         out = {
-            "loss": tot_loss / max(1, self.train_pipe.steps_per_epoch()),
-            "classification": 100.0 * n_corr / max(1, n),
+            "loss": float(tot_loss) / max(1.0, float(n_steps)),
+            "classification": 100.0 * float(n_corr) / max(1.0, float(n)),
+            "n": int(n),
             "seconds": time.time() - t0,
         }
         self.meters["train_loss"].update(out["loss"], epoch)
@@ -251,9 +350,13 @@ class Trainer:
                           classifier=self.classifier,
                           visual_dump_dir=(os.path.join(self.outd, "visuals",
                                                         split)
-                                           if visual_dump else ""))
+                                           if visual_dump and self.is_master
+                                           else ""),
+                          sharding=self.eval_sharding)
         res = ev.run(self.state.variables(), self.kc.key("eval", split,
-                                                         epoch))
+                                                         epoch),
+                     reduce_fn=(self.reduce_fn
+                                if jax.process_count() > 1 else None))
         log({"split": split, "epoch": epoch,
              **{k: v for k, v in res.items()
                 if isinstance(v, (int, float))}})
@@ -266,19 +369,21 @@ class Trainer:
         if self.meters["val_localization"].update(
                 val_res["localization"], epoch):
             self.best_loc_variables = jax.device_get(self.state.variables())
-            ckpt.save_best_model(
-                os.path.join(self.outd, constants.BEST_LOC),
-                int(self.state.step), self.best_loc_variables,
-                extra={"epoch": epoch,
-                       "localization": val_res["localization"]})
+            if self.is_master:
+                ckpt.save_best_model(
+                    os.path.join(self.outd, constants.BEST_LOC),
+                    int(self.state.step), self.best_loc_variables,
+                    extra={"epoch": epoch,
+                           "localization": val_res["localization"]})
         if self.meters["val_classification"].update(
                 val_res["classification"], epoch):
             self.best_cl_variables = jax.device_get(self.state.variables())
-            ckpt.save_best_model(
-                os.path.join(self.outd, constants.BEST_CL),
-                int(self.state.step), self.best_cl_variables,
-                extra={"epoch": epoch,
-                       "classification": val_res["classification"]})
+            if self.is_master:
+                ckpt.save_best_model(
+                    os.path.join(self.outd, constants.BEST_CL),
+                    int(self.state.step), self.best_cl_variables,
+                    extra={"epoch": epoch,
+                           "classification": val_res["classification"]})
 
     def _meters_path(self) -> str:
         return os.path.join(self.outd, "meters.pkl")
@@ -287,6 +392,8 @@ class Trainer:
         """Meters ride along with rolling checkpoints so resume restores
         best-so-far tracking (reference performance-tracker checkpoints,
         train_wsol.py:1280-1325)."""
+        if not self.is_master:
+            return
         import pickle
         payload = {k: {"history": m.history, "best_value": m.best_value,
                        "best_epoch": m.best_epoch}
@@ -310,7 +417,7 @@ class Trainer:
     def load_checkpoint_if_any(self) -> int:
         step, restored = ckpt.find_last_checkpoint(self.outd, self.state)
         if restored is not None:
-            self.state = restored
+            self.state = jax.device_put(restored, self.replicated_sharding)
             self.load_meters()
             # re-materialize the best snapshots for the student switch /
             # final test evals
@@ -355,6 +462,8 @@ class Trainer:
     def dump_performances(self) -> None:
         """Persist meter histories + plots (reference save_performances +
         plot_perfs_meter, train_wsol.py:1327-1356, 1856-1932)."""
+        if not self.is_master:
+            return
         import pickle
         hist = {k: m.history for k, m in self.meters.items()}
         best = {k: {"value": m.best_value, "epoch": m.best_epoch}
@@ -375,6 +484,8 @@ class Trainer:
     def dump_eval_artifacts(self, split: str, res: Dict) -> None:
         """BoxAcc-vs-tau curves + best-tau yaml (reference
         train_wsol.py:1541-1576)."""
+        if not self.is_master:
+            return
         import yaml
         if "best_tau" in res:
             with open(os.path.join(self.outd, f"best_tau_{split}.yaml"),
@@ -422,8 +533,11 @@ class Trainer:
                 continue
             saved = self.state
             self.state = self.state.replace(
-                params=variables["params"],
-                batch_stats=variables.get("batch_stats", {}))
+                params=jax.device_put(variables["params"],
+                                      self.replicated_sharding),
+                batch_stats=jax.device_put(
+                    variables.get("batch_stats", {}),
+                    self.replicated_sharding))
             res = self.evaluate(self.args.max_epochs, constants.TESTSET,
                                 visual_dump=True)
             self.dump_eval_artifacts(f"test_{tag}", res)

@@ -73,20 +73,20 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def psum_across(x, mesh: Mesh):
-    """Sum a host-side value across data-parallel processes.  In-process
-    meshes hold all shards locally so this is a no-op add; multi-host uses
-    a tiny jitted psum program over the mesh."""
+def psum_across(x, mesh: Optional[Mesh] = None):
+    """Sum a host-side value across processes — the counter-reduction
+    analogue of the reference's all_gather helper
+    (/root/reference/dlib/parallel/__init__.py:15-24 + .sum()).  A single
+    process already holds the global value (in-process meshes see every
+    shard), so this is the identity; multi-host gathers each process's
+    local counters over DCN and sums them."""
     if jax.process_count() == 1:
         return x
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental import multihost_utils
 
-    fn = shard_map(lambda v: jax.lax.psum(v, DP), mesh=mesh,
-                   in_specs=P(DP), out_specs=P())
-    tiled = jnp.tile(jnp.asarray(x)[None], (mesh.shape[DP],) +
-                     (1,) * np.ndim(x))
-    return np.asarray(jax.jit(fn)(tiled))
+    gathered = multihost_utils.process_allgather(jnp.asarray(x))
+    return np.asarray(gathered).sum(axis=0)
 
 
 def local_batch_slice(global_batch: int, mesh: Mesh) -> int:

@@ -62,6 +62,114 @@ def plot_single(raw_img: np.ndarray, cam: Optional[np.ndarray],
     plt.close(fig)
 
 
+def plot_multiple(raw_img: np.ndarray, cam: np.ndarray,
+                  gt_boxes: Sequence, entries: List[Dict],
+                  path: str) -> None:
+    """Multi-panel figure (reference Viz_WSOL.plot_multiple,
+    vision_wsol.py:342-365): one column per entry, row 0 = heatmap
+    overlay with GT/pred boxes, row 1 = the binarized mask at that
+    entry's tau with the same boxes.
+
+    entries: [{"pred_boxes": (P,4), "tau": float, "sigma": int,
+               "iou": float}, ...]
+    """
+    img = np.clip(raw_img, 0, 255).astype(np.uint8)
+    n = max(1, len(entries))
+    fig, axes = plt.subplots(2, n, figsize=(3 * n, 6), squeeze=False)
+    for i, e in enumerate(entries):
+        vis = cam_overlay(img, cam)
+        vis = draw_boxes(vis, gt_boxes, GT_COLOR)
+        vis = draw_boxes(vis, e.get("pred_boxes", []), PRED_COLOR)
+        axes[0, i].imshow(vis)
+        axes[0, i].axis("off")
+        tag = f"sigma={e.get('sigma', '')} tau={e.get('tau', 0):.3f}"
+        if "iou" in e:
+            tag += f" iou={e['iou']:.2f}"
+        axes[0, i].set_title(tag, fontsize=8)
+        mask = (cam >= e.get("tau", 0.5)).astype(np.float32)
+        mvis = (0.5 * img + 0.5 * (mask[..., None] *
+                                   np.asarray(PRED_COLOR))).astype(np.uint8)
+        mvis = draw_boxes(mvis, gt_boxes, GT_COLOR)
+        mvis = draw_boxes(mvis, e.get("pred_boxes", []), PRED_COLOR)
+        axes[1, i].imshow(mvis)
+        axes[1, i].axis("off")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fig.savefig(path, bbox_inches="tight", dpi=100)
+    plt.close(fig)
+
+
+def ordered_prediction_sheets(visuals: List[tuple],
+                              best_tau_list: Sequence[float],
+                              iou_threshold_list: Sequence[int],
+                              multi_contour: bool,
+                              out_dir: str) -> Dict[int, List[tuple]]:
+    """Per-IoU ordered best->worst prediction dumps + per-image
+    multi-panel sheets (reference _draw_some_best_pred,
+    inference_wsol.py:700-1071: per-sigma folders of overlays renamed by
+    descending-IoU rank, ordered_iou_{sigma}.yaml/.txt, and the
+    plot_multiple sheet across taus).
+
+    visuals: [(image_id, raw_img, cam, gt_boxes), ...].
+    Returns {sigma: [(image_id, iou) desc-ordered]}.
+    """
+    import yaml
+
+    from tcam_wsol_video_tpu.metrics.wsol import scoremap_to_boxes
+    from tcam_wsol_video_tpu.ops.boxes import iou_matrix_np
+
+    per_image = []  # (iid, raw, cam, gt, {sigma: (best_box, iou)})
+    for iid, raw, cam, gt in visuals:
+        boxes_per_tau, _ = scoremap_to_boxes(
+            cam, list(best_tau_list), multi_contour)
+        by_sigma = {}
+        for k, sigma in enumerate(iou_threshold_list):
+            boxes = np.asarray(boxes_per_tau[k], np.float64)
+            iou = iou_matrix_np(boxes, np.asarray(gt, np.float64))
+            flat = iou.max(axis=1) if iou.size else np.zeros(1)
+            j = int(np.argmax(flat))
+            by_sigma[sigma] = (boxes[j], float(flat[j]))
+        per_image.append((iid, raw, cam, gt, by_sigma))
+
+    ordered: Dict[int, List[tuple]] = {}
+    for k, sigma in enumerate(iou_threshold_list):
+        ranked = sorted(
+            ((iid, by[sigma][1]) for iid, _, _, _, by in per_image),
+            key=lambda t: t[1], reverse=True)
+        ordered[sigma] = ranked
+        sig_dir = os.path.join(out_dir, str(sigma))
+        os.makedirs(sig_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"ordered_iou_{sigma}.yaml"),
+                  "w") as f:
+            yaml.safe_dump({iid: iou for iid, iou in ranked}, f)
+        with open(os.path.join(out_dir, f"ordered_iou_{sigma}.txt"),
+                  "w") as f:
+            for iid, iou in ranked:
+                f.write(f"{iid.replace('/', '_')}: {iou}\n")
+        rank_of = {iid: r for r, (iid, _) in enumerate(ranked)}
+        for iid, raw, cam, gt, by in per_image:
+            box, iou = by[sigma]
+            plot_single(raw, cam, gt, [box],
+                        os.path.join(
+                            sig_dir,
+                            f"{rank_of[iid]:03d}_"
+                            f"{iid.replace('/', '_')}.png"),
+                        tags={"iou": round(iou, 3),
+                              "tau": round(best_tau_list[k], 3),
+                              "sigma": sigma})
+
+    # per-image multi-panel sheet across the per-IoU best taus
+    # (the reference's 'some_taux' family)
+    sheet_dir = os.path.join(out_dir, "some_taux")
+    for iid, raw, cam, gt, by in per_image:
+        entries = [{"pred_boxes": [by[s][0]], "tau": best_tau_list[k],
+                    "sigma": s, "iou": by[s][1]}
+                   for k, s in enumerate(iou_threshold_list)]
+        plot_multiple(raw, cam, gt, entries,
+                      os.path.join(sheet_dir,
+                                   iid.replace("/", "_") + ".png"))
+    return ordered
+
+
 def plot_progress_grid(raw_imgs: List[np.ndarray], cams: List[np.ndarray],
                        path: str, epoch: int) -> None:
     """Fixed-frame CAM progress grid, one row per frame (reference

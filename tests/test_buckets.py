@@ -1,0 +1,96 @@
+"""ILSVRC-style bucketed training through the production Trainer
+(reference per-bucket epoch loop, train_wsol.py:1081-1103 + chunk
+manager ilsvrc_manager.py:296-416), faked with 2 buckets over the
+synthetic video dataset."""
+import os
+
+import numpy as np
+import pytest
+
+from tcam_wsol_video_tpu.core import constants as C
+from tcam_wsol_video_tpu.core.hparams import HParams, finalize, get_config
+from tcam_wsol_video_tpu.core.prng import KeyChain
+from tcam_wsol_video_tpu.data.dataset import WSOLVideoDataset
+from tcam_wsol_video_tpu.data.folds import load_split_metadata
+from tcam_wsol_video_tpu.data.ilsvrc_buckets import (BucketStager,
+                                                     bucket_image_ids,
+                                                     num_buckets)
+from tcam_wsol_video_tpu.data.pipeline import DataPipeline
+from tcam_wsol_video_tpu.data.synthetic import make_synthetic_dataset
+from tcam_wsol_video_tpu.data.transforms import PairedTransform
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_buckets")
+    out = make_synthetic_dataset(str(root))
+    # fake 2 chunk files splitting the train shots in half
+    md = load_split_metadata(out["metadata_root"], "train")
+    ids = list(md.image_ids)
+    half = len(ids) // 2
+    tr_dir = os.path.join(out["metadata_root"], "train")
+    for i, chunk in enumerate((ids[:half], ids[half:])):
+        with open(os.path.join(tr_dir, f"train_chunk_{i}.txt"), "w") as f:
+            f.write("\n".join(chunk) + "\n")
+    return out
+
+
+def test_bucket_metadata_reader(synth):
+    assert num_buckets(2, 1) == 2
+    md = load_split_metadata(synth["metadata_root"], "train")
+    b0 = bucket_image_ids(synth["metadata_root"], 0, n_chunks=2, bucket_sz=1)
+    b1 = bucket_image_ids(synth["metadata_root"], 1, n_chunks=2, bucket_sz=1)
+    assert sorted(b0 + b1) == sorted(md.image_ids)
+    assert not set(b0) & set(b1)
+
+
+def test_trainer_bucket_loop_covers_all_samples(synth, tmp_path_factory):
+    from tcam_wsol_video_tpu.engine.trainer import Trainer
+    from tcam_wsol_video_tpu.models.factory import create_model_from_args
+
+    cfg = get_config(C.YTOV1)
+    cfg.update(task=C.STD_CL, arch=C.STDCLASSIFIER, crop_size=32,
+               resize_size=40, batch_size=4, eval_batch_size=8,
+               max_epochs=1, num_workers=2, compute_dtype="float32",
+               checkpoint_save=0, cam_curve_interval=0.05, mesh_dp=1,
+               log_every=0, fast_eval=False,
+               ds_chunkable=True, nbr_chunks=2, bucket_sz=1,
+               metadata_root=synth["metadata_root"],
+               outd=str(tmp_path_factory.mktemp("exps_buckets")))
+    args = finalize(HParams(cfg))
+    assert args.nbr_buckets == 2
+
+    kc = KeyChain(0)
+    md_tr = load_split_metadata(synth["metadata_root"], "train")
+    ds_tr = WSOLVideoDataset(md_tr, synth["data_root"], "train", C.YTOV1,
+                             PairedTransform(40, 32, train=True), kc,
+                             crop_size=32)
+    pipe_tr = DataPipeline(ds_tr, args.batch_size, kc, num_workers=2)
+    md_v = load_split_metadata(synth["metadata_root"], "val")
+    ds_v = WSOLVideoDataset(md_v, synth["data_root"], "val", C.YTOV1,
+                            PairedTransform(40, 32, train=False), kc,
+                            crop_size=32)
+    eval_pipes = {"val": (ds_v, DataPipeline(ds_v, 8, kc, shuffle=False,
+                                             num_workers=2))}
+    model = create_model_from_args(args)
+    tr = Trainer(args, model, pipe_tr, eval_pipes, keychain=kc)
+
+    # bucket subsets partition the dataset
+    s0, s1 = tr._bucket_subset(0), tr._bucket_subset(1)
+    assert sorted(np.concatenate([s0, s1]).tolist()) == \
+        list(range(len(ds_tr)))
+
+    # staging hooks fire around each bucket, in order
+    events = []
+    tr.bucket_stager = BucketStager(
+        stage_cmd=lambda b: ["true", f"stage{b}"],
+        cleanup_cmd=lambda b: ["true", f"clean{b}"])
+    tr.bucket_stager.prepare = lambda b: events.append(("prep", b))
+    tr.bucket_stager.cleanup = lambda b: events.append(("clean", b))
+
+    m = tr.train_epoch(0)
+    assert events == [("prep", 0), ("clean", 0), ("prep", 1), ("clean", 1)]
+    assert np.isfinite(m["loss"])
+    # every training sample was visited exactly once across both buckets
+    # (n counts valid rows only; padding is excluded)
+    assert m["n"] == len(ds_tr)

@@ -31,7 +31,7 @@ def test_cbox_train_and_eval(synth, tmp_path_factory):
     cfg.update(task=C.C_BOX, arch=C.DENSEBOXNET, crop_size=32,
                resize_size=40, batch_size=4, eval_batch_size=8,
                max_epochs=1, num_workers=2, compute_dtype="float32",
-               checkpoint_save=0, cam_curve_interval=0.05, log_every=0,
+               checkpoint_save=0, cam_curve_interval=0.05, mesh_dp=1, log_every=0,
                fast_eval=False, lr=0.01,
                cb_area_box=True, cb_cl_scoring=True, cb_seed=True,
                cb_box_bounds=True, sl_max=4, sl_min=4, sl_fg_erode_iter=0,

@@ -31,7 +31,7 @@ def _small_args(task=C.STD_CL, **over):
                crop_size=32, resize_size=40, batch_size=4,
                eval_batch_size=8, max_epochs=1, num_workers=2,
                compute_dtype="float32", checkpoint_save=0,
-               cam_curve_interval=0.05, log_every=0, fast_eval=False)
+               cam_curve_interval=0.05, mesh_dp=1, log_every=0, fast_eval=False)
     cfg.update(over)
     return finalize(HParams(cfg))
 

@@ -1,0 +1,102 @@
+"""The production Trainer on a multi-device mesh: batches sharded over dp,
+state replicated, XLA-inserted gradient psum — same math as one device.
+
+This goes through Trainer.train_epoch / Trainer.evaluate (prefetch
+sharding, replicated TrainState, sharded CamEvaluator), not a hand-built
+step: the framework-level counterpart of the reference's DDP wrap
+(/root/reference/main.py:49) + DistributedSampler loaders
+(/root/reference/dlib/datasets/wsol_loader.py:1008-1012).
+"""
+import jax
+import numpy as np
+import pytest
+
+from tcam_wsol_video_tpu.core import constants as C
+from tcam_wsol_video_tpu.core.hparams import HParams, finalize, get_config
+from tcam_wsol_video_tpu.core.prng import KeyChain
+from tcam_wsol_video_tpu.data.dataset import WSOLVideoDataset
+from tcam_wsol_video_tpu.data.folds import load_split_metadata
+from tcam_wsol_video_tpu.data.pipeline import DataPipeline
+from tcam_wsol_video_tpu.data.synthetic import make_synthetic_dataset
+from tcam_wsol_video_tpu.data.transforms import PairedTransform
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_mesh")
+    return make_synthetic_dataset(str(root))
+
+
+def _args(synth, outd, **over):
+    cfg = get_config(C.YTOV1)
+    cfg.update(task=C.TCAM, arch=C.UNETTCAM, crop_size=32, resize_size=40,
+               batch_size=8, eval_batch_size=8, max_epochs=1, num_workers=2,
+               compute_dtype="float32", checkpoint_save=0,
+               cam_curve_interval=0.05, log_every=0, fast_eval=False,
+               sl_tc=True, sl_tc_max=4, sl_tc_min=4,
+               max_sizepos_tc=True, max_sizepos_tc_lambda=0.01,
+               lr=0.01, outd=outd)
+    cfg.update(over)
+    return finalize(HParams(cfg))
+
+
+def _make_trainer(args, synth):
+    from tcam_wsol_video_tpu.engine.trainer import Trainer
+    from tcam_wsol_video_tpu.models.factory import create_model_from_args
+
+    kc = KeyChain(0)
+    md_tr = load_split_metadata(synth["metadata_root"], "train")
+    ds_tr = WSOLVideoDataset(md_tr, synth["data_root"], "train", C.YTOV1,
+                             PairedTransform(40, 32, train=True), kc,
+                             crop_size=32)
+    pipe_tr = DataPipeline(ds_tr, args.batch_size, kc, num_workers=2)
+    md_v = load_split_metadata(synth["metadata_root"], "val")
+    ds_v = WSOLVideoDataset(md_v, synth["data_root"], "val", C.YTOV1,
+                            PairedTransform(40, 32, train=False), kc,
+                            crop_size=32)
+    eval_pipes = {"val": (ds_v, DataPipeline(ds_v, 8, kc, shuffle=False,
+                                             num_workers=2))}
+    model = create_model_from_args(args)
+    return Trainer(args, model, pipe_tr, eval_pipes, keychain=kc)
+
+
+def test_trainer_fit_on_mesh_matches_single_device(synth, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("exps_mesh"))
+    tr1 = _make_trainer(_args(synth, out, mesh_dp=1, exp_id="dp1"), synth)
+    tr8 = _make_trainer(_args(synth, out, mesh_dp=8, exp_id="dp8"), synth)
+
+    assert dict(tr8.mesh.shape) == {"dp": 8, "mp": 1}
+    assert tr8.eval_sharding is not None
+    # replicated state: every leaf lives on all 8 devices
+    leaf = jax.tree_util.tree_leaves(tr8.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+    # sharded evaluator at IDENTICAL init params: exact-protocol metrics
+    # must match strictly (per-sample forward math is independent of the
+    # batch sharding)
+    r1 = tr1.evaluate(0, "val")
+    r8 = tr8.evaluate(0, "val")
+    assert r1["classification"] == pytest.approx(r8["classification"])
+    assert r1["localization"] == pytest.approx(r8["localization"], abs=1e-6)
+
+    m1 = tr1.train_epoch(0)
+    m8 = tr8.train_epoch(0)
+    assert np.isfinite(m1["loss"]) and np.isfinite(m8["loss"])
+    assert m1["loss"] == pytest.approx(m8["loss"], rel=1e-4)
+    assert m1["classification"] == pytest.approx(m8["classification"])
+
+    # post-step params agree up to cross-shard reduction-order noise;
+    # a broken gradient psum would be O(1) off (e.g. 8x-scaled grads)
+    p1 = jax.tree_util.tree_leaves(tr1.state.params)
+    p8 = jax.tree_util.tree_leaves(tr8.state.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_mesh_dp_fallback_to_batch_divisor(synth, tmp_path_factory):
+    """mesh_dp=-1 with a batch not divisible by the device count falls
+    back to the largest feasible dp instead of failing."""
+    out = str(tmp_path_factory.mktemp("exps_mesh_fb"))
+    tr = _make_trainer(_args(synth, out, mesh_dp=-1, batch_size=6,
+                             exp_id="fb"), synth)
+    assert dict(tr.mesh.shape)["dp"] == 6  # largest divisor of 6 <= 8

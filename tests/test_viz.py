@@ -42,3 +42,49 @@ def test_demo_video_writer(tmp_path, rng):
     path = str(tmp_path / "demo.mp4")
     wsol_viz.build_demo_video(frames, path, fps=4)
     assert os.path.getsize(path) > 0
+
+
+def test_plot_multiple_panels(tmp_path, rng):
+    img = (rng.random((32, 32, 3)) * 255).astype(np.float32)
+    cam = rng.random((32, 32)).astype(np.float32)
+    p = str(tmp_path / "multi.png")
+    wsol_viz.plot_multiple(
+        img, cam, [[2, 2, 10, 10]],
+        [{"pred_boxes": [[3, 3, 12, 12]], "tau": 0.3, "sigma": 30,
+          "iou": 0.4},
+         {"pred_boxes": [[4, 4, 14, 14]], "tau": 0.5, "sigma": 50,
+          "iou": 0.2}], p)
+    assert os.path.getsize(p) > 0
+
+
+def test_ordered_prediction_sheets(tmp_path, rng):
+    """Per-IoU folders with rank-prefixed files ordered by descending
+    IoU, ordered_iou yaml/txt, and per-image multi-panel sheets
+    (reference inference_wsol.py:700-1071 artifact family)."""
+    import yaml
+
+    visuals = []
+    for i in range(3):
+        img = (rng.random((32, 32, 3)) * 255).astype(np.float32)
+        cam = np.zeros((32, 32), np.float32)
+        # blob of increasing overlap with the fixed GT box
+        cam[4:12 + 6 * i, 4:12 + 6 * i] = 1.0
+        visuals.append((f"v/im{i}", img, cam,
+                        np.asarray([[4, 4, 24, 24]], np.float64)))
+    out = str(tmp_path / "vizu")
+    ordered = wsol_viz.ordered_prediction_sheets(
+        visuals, [0.1, 0.2, 0.3], [30, 50, 70], True, out)
+    for sigma in (30, 50, 70):
+        ranked = ordered[sigma]
+        assert [r[1] for r in ranked] == sorted(
+            [r[1] for r in ranked], reverse=True)
+        y = yaml.safe_load(open(os.path.join(out,
+                                             f"ordered_iou_{sigma}.yaml")))
+        assert len(y) == 3
+        files = sorted(os.listdir(os.path.join(out, str(sigma))))
+        assert len(files) == 3
+        # rank 0 file is the best-IoU image
+        assert files[0].startswith("000_")
+        assert ranked[0][0].replace("/", "_") in files[0]
+    sheets = os.listdir(os.path.join(out, "some_taux"))
+    assert len(sheets) == 3
