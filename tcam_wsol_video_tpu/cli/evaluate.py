@@ -34,6 +34,8 @@ from tcam_wsol_video_tpu.models.factory import create_model_from_args
 
 
 def main(argv=None) -> Dict[str, float]:
+    from tcam_wsol_video_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     boot = argparse.ArgumentParser(add_help=False)
     boot.add_argument("--exp_dir", type=str, required=True)
     boot.add_argument("--split", type=str, default=constants.TESTSET)

@@ -110,13 +110,17 @@ def load_pretrained_classifier_weights(args: HParams, variables: dict
 
 
 def main(argv=None) -> Dict:
+    from tcam_wsol_video_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = parse_args(argv)
     pmesh.maybe_init_distributed()
+    is_master = jax.process_index() == 0
     outd = os.path.join(args.outd, args.tag, args.exp_id)
     os.makedirs(outd, exist_ok=True)
-    init_logger(outd, is_master=jax.process_index() == 0)
-    dump_config(args, os.path.join(outd, "config.yml"))
-    _snapshot_code(outd)
+    init_logger(outd, is_master=is_master)
+    if is_master:  # config/code snapshots: one writer per experiment dir
+        dump_config(args, os.path.join(outd, "config.yml"))
+        _snapshot_code(outd)
     log(f"experiment {args.tag} digest {args.digest}")
 
     kc = KeyChain(args.seed)

@@ -202,12 +202,25 @@ class DataPipeline:
 
 def device_prefetch(iterator, size: int = 2, sharding=None):
     """Keep `size` batches in flight on device (double buffering); array
-    leaves go to the device, host-only entries ride along."""
+    leaves go to the device, host-only entries ride along.
+
+    With a sharding that spans multiple processes, each process's batch
+    is its per-host shard of the global batch: the global array is
+    assembled with make_array_from_process_local_data (the SPMD analogue
+    of DDP's per-rank batches)."""
     queue = collections.deque()
+    multiproc = (sharding is not None
+                 and jax.process_count() > 1
+                 and not sharding.is_fully_addressable)
+
+    def _put_one(v):
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, v)
+        return jax.device_put(v, sharding)
 
     def put(b):
-        dev = {k: (jax.device_put(v, sharding) if isinstance(v, np.ndarray)
-                   else v) for k, v in b.items()}
+        dev = {k: (_put_one(v) if isinstance(v, np.ndarray) else v)
+               for k, v in b.items()}
         queue.append(dev)
 
     it = iter(iterator)

@@ -130,6 +130,12 @@ class CamEvaluator:
         single host."""
         params = variables["params"]
         bstats = variables.get("batch_stats", {})
+        if jax.process_count() > 1:
+            # training replicates state on the GLOBAL mesh; eval programs
+            # run per-process on the local mesh — uncommitted host copies
+            # let jit place them beside the locally-sharded batches
+            params = jax.device_get(params)
+            bstats = jax.device_get(bstats)
         if (self.eval_dtype == "bfloat16"
                 and jax.default_backend() == "tpu"):
             # pre-cast once instead of per-call f32->bf16 weight casts

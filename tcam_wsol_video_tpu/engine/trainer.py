@@ -92,28 +92,46 @@ class Trainer:
         # gradient psum over ICI.  mesh_dp=-1 uses every visible device
         # (falling back to the largest divisor of the per-step frame
         # count so static batches always shard evenly).
+        # `frames` is the PER-PROCESS batch (each host's pipeline yields
+        # its own data shard, like DDP per-rank batches); the global
+        # batch assembled on the mesh is frames * process_count
         frames = train_pipe.batch_size * getattr(train_pipe.ds,
                                                  "clip_len", 1)
         mp = args.mesh_mp
-        n_fit = jax.device_count() // mp
-        dp = args.mesh_dp
-        if dp == -1:
-            dp = n_fit
-            while dp > 1 and frames % dp:
-                dp -= 1
-            if dp < n_fit:
-                log(f"mesh: dp={dp} (largest divisor of {frames} "
-                    f"frames/step; {n_fit} devices visible)")
+        n_proc = jax.process_count()
+        n_local_fit = jax.local_device_count() // mp
+        if args.mesh_dp == -1:
+            dp_local = n_local_fit
+            while dp_local > 1 and frames % dp_local:
+                dp_local -= 1
+            if dp_local < n_local_fit:
+                log(f"mesh: dp={dp_local}/process (largest divisor of "
+                    f"{frames} frames/step; {n_local_fit} local devices)")
         else:
-            assert frames % dp == 0, (
-                f"batch of {frames} frames/step not divisible by "
-                f"mesh_dp={dp}")
-        self.mesh = pmesh.make_mesh(dp=dp, mp=mp,
-                                    devices=jax.devices()[:dp * mp])
+            assert args.mesh_dp % n_proc == 0, (args.mesh_dp, n_proc)
+            dp_local = args.mesh_dp // n_proc
+            assert frames % dp_local == 0, (
+                f"per-process batch of {frames} frames not divisible by "
+                f"local dp={dp_local}")
+        dp = dp_local * n_proc
+        devices = jax.devices()[:dp * mp] if n_proc == 1 else jax.devices()
+        self.mesh = pmesh.make_mesh(dp=dp, mp=mp, devices=devices)
         self.batch_sharding = pmesh.batch_sharding(self.mesh)
         self.replicated_sharding = pmesh.replicated(self.mesh)
-        self.eval_sharding = (self.batch_sharding
-                              if args.eval_batch_size % dp == 0 else None)
+        if n_proc == 1:
+            self.eval_sharding = (self.batch_sharding
+                                  if args.eval_batch_size % dp == 0
+                                  else None)
+        else:
+            # eval streams CAMs back to host per process: shard eval
+            # batches over a LOCAL mesh only, reduce counters across
+            # processes afterwards
+            dpe = n_local_fit
+            while dpe > 1 and args.eval_batch_size % dpe:
+                dpe -= 1
+            eval_mesh = pmesh.make_mesh(
+                dp=dpe, mp=1, devices=jax.local_devices()[:dpe])
+            self.eval_sharding = pmesh.batch_sharding(eval_mesh)
         self.state = jax.device_put(self.state, self.replicated_sharding)
         self.is_master = jax.process_index() == 0
         # host-side counter reduction across processes (no-op single-host)
@@ -320,12 +338,12 @@ class Trainer:
         if self.is_master and args.plot_progress:
             self._plot_progress(epoch)
 
-        # each process trained on its data shard: reduce the epoch
-        # totals (reference sync_tensor_across_gpus,
-        # train_wsol.py:1214-1221); no-op on a single host
-        if jax.process_count() > 1:
-            tot_loss, n_corr, n, n_steps = self.reduce_fn(
-                np.asarray([tot_loss, n_corr, n, n_steps], np.float64))
+        # NOTE: no host-side reduction of train totals — the train step
+        # runs as ONE global program over the mesh (per-process batches
+        # assembled with make_array_from_process_local_data), so its
+        # metric outputs are already global sums on every process (the
+        # role of the reference's sync_tensor_across_gpus,
+        # train_wsol.py:1214-1221, is played by the XLA psum)
         out = {
             "loss": float(tot_loss) / max(1.0, float(n_steps)),
             "classification": 100.0 * float(n_corr) / max(1.0, float(n)),
