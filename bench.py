@@ -36,13 +36,16 @@ REFERENCE_V100_TRAIN_FRAMES_PER_SEC = 55.0
 
 
 def bench_train_step(crf_scale: float = 1.0,
-                     crf_lambda: float = 2e-9) -> dict:
-    """Full TCAM stage-2 train step (sl + exact CRF + size losses).
+                     crf_lambda: float = 2e-9,
+                     crf_impl: str = "exact") -> dict:
+    """Full TCAM stage-2 train step (sl + CRF + size losses).
 
-    crf_scale=0.5 is the validated TPU recipe (lambda x16 compensates the
-    1/s^4 pair-count drop): gradient cosine 0.978 vs scale 1.0 at
-    224px/sigma 15-100, identical final MaxBoxAcc on the synthetic
-    two-stage run — see PARITY.md 'CRF scale' section."""
+    crf_impl="landmarks" is the flagship TPU recipe: Nystrom landmark
+    factorization of the exact kernel at the full scale 1.0 —
+    grad cosine 1.000000 / loss relerr 5e-4 vs exact at 224px (PARITY.md
+    'CRF landmarks'), so no recipe change is needed at all.
+    crf_scale=0.5 is the earlier validated downscale recipe (lambda x16
+    compensates the 1/s^4 pair-count drop, gradient cosine 0.978)."""
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +73,7 @@ def bench_train_step(crf_scale: float = 1.0,
                sl_tc=True, sl_tc_max=1000, sl_tc_min=1000,
                sl_tc_use_roi=True, sl_tc_seed_tech=constants.SEED_WEIGHTED,
                crf_tc=True, crf_tc_lambda=crf_lambda,
-               crf_tc_scale=crf_scale,
+               crf_tc_scale=crf_scale, crf_impl=crf_impl,
                max_sizepos_tc=True, max_sizepos_tc_lambda=0.01)
     args = finalize(HParams(cfg))
 
@@ -128,9 +131,11 @@ def bench_train_step(crf_scale: float = 1.0,
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
+    tag = "lmk-CRF@scale1.0" if crf_impl == "landmarks" \
+        else f"CRF@scale{crf_scale}"
     return {
         "metric": "TCAM(ResNet-50+UnetTCAM) train frames/sec/chip "
-                  f"(sl+CRF@scale{crf_scale}+sizes) @{crop}px bs{batch}",
+                  f"(sl+{tag}+sizes) @{crop}px bs{batch}",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / REFERENCE_V100_TRAIN_FRAMES_PER_SEC, 3),
@@ -205,11 +210,17 @@ def main() -> None:
     print(json.dumps(train_exact))
     extra = {}
     if on_tpu:
-        # validated TPU recipe: CRF at scale 0.5, lambda x16
+        # flagship TPU recipe: Nystrom landmark CRF at full scale 1.0
+        # (grad cosine 1.000000 vs exact — PARITY.md 'CRF landmarks')
+        train_lmk = bench_train_step(crf_impl="landmarks")
+        print(json.dumps(train_lmk))
+        # earlier validated downscale recipe: CRF at scale 0.5, lambda x16
         # (grad cosine .978, identical final MaxBoxAcc — PARITY.md)
         train_05 = bench_train_step(crf_scale=0.5, crf_lambda=3.2e-8)
         print(json.dumps(train_05))
-        extra = {"train_scale05_frames_per_sec_chip": train_05["value"],
+        extra = {"train_lmk_frames_per_sec_chip": train_lmk["value"],
+                 "train_lmk_ms_per_step": train_lmk["ms_per_step"],
+                 "train_scale05_frames_per_sec_chip": train_05["value"],
                  "train_scale05_ms_per_step": train_05["ms_per_step"]}
     print(json.dumps({
         "metric": "TCAM(ResNet-50+UnetTCAM) eval frames/sec/chip @"

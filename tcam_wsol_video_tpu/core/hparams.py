@@ -182,6 +182,15 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "sl_min_p": 0.2,
         "sl_fg_erode_k": 11,
         "sl_fg_erode_iter": 1,
+        # CRF filter implementation, shared by all CRF terms:
+        # "exact" = dense O(P^2) Gaussian attention (Pallas/MXU);
+        # "landmarks" = Nystrom over a uniform spatial landmark grid,
+        # O(P*M) and near-exact on natural frames (relerr ~1e-4 at
+        # M=1024 — the TPU fast path); "rff" = orthogonal random Fourier
+        # features, content-independent, O(P*F)
+        "crf_impl": "exact",
+        "crf_n_landmarks": 1024,
+        "crf_rff_freqs": 2048,
         "crf_fc": False,
         "crf_lambda": 2e-9,
         "crf_sigma_rgb": 15.0,
@@ -359,6 +368,7 @@ def finalize(args: HParams) -> HParams:
     assert args.spatial_pooling in constants.SPATIAL_POOLINGS
     assert args.method in constants.CAM_METHODS
     assert args.sl_tc_seed_tech in constants.SEED_TECHS
+    assert args.crf_impl in ("exact", "landmarks", "rff"), args.crf_impl
     assert args.sl_tc_roi_method in constants.ROI_SELECT
     assert args.sl_tc_knn_mode in constants.TIME_DEPENDENCY
 

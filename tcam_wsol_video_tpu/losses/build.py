@@ -54,6 +54,8 @@ def get_loss_fcam(args) -> MasterLoss:
         ml.add(fcam_losses.ConRanFieldFcams(
             lambda_=args.crf_lambda, sigma_rgb=args.crf_sigma_rgb,
             sigma_xy=args.crf_sigma_xy, scale_factor=args.crf_scale,
+            impl=args.crf_impl, n_landmarks=args.crf_n_landmarks,
+            rff_freqs=args.crf_rff_freqs,
             start_ep=args.crf_start_ep, end_ep=args.crf_end_ep, **c))
     if args.entropy_fc:
         ml.add(fcam_losses.EntropyFcams(
@@ -81,6 +83,8 @@ def get_loss_tcam(args) -> MasterLoss:
         ml.add(tcam_losses.ConRanFieldTcams(
             lambda_=args.crf_tc_lambda, sigma_rgb=args.crf_tc_sigma_rgb,
             sigma_xy=args.crf_tc_sigma_xy, scale_factor=args.crf_tc_scale,
+            impl=args.crf_impl, n_landmarks=args.crf_n_landmarks,
+            rff_freqs=args.crf_rff_freqs,
             start_ep=args.crf_tc_start_ep, end_ep=args.crf_tc_end_ep, **c))
     if args.rgb_jcrf_tc:
         assert args.knn_tc > 0, \
@@ -90,6 +94,8 @@ def get_loss_tcam(args) -> MasterLoss:
             lambda_=args.rgb_jcrf_tc_lambda,
             sigma_rgb=args.rgb_jcrf_tc_sigma_rgb,
             scale_factor=args.rgb_jcrf_tc_scale,
+            impl=args.crf_impl, n_landmarks=args.crf_n_landmarks,
+            rff_freqs=args.crf_rff_freqs,
             start_ep=args.rgb_jcrf_tc_start_ep,
             end_ep=args.rgb_jcrf_tc_end_ep, **c))
     if args.max_sizepos_tc:

@@ -41,17 +41,21 @@ class SelfLearningFcams(ElementaryLoss):
 
 class ConRanFieldFcams(ElementaryLoss):
     def __init__(self, sigma_rgb=15.0, sigma_xy=100.0, scale_factor=1.0,
-                 **kw):
+                 impl="exact", n_landmarks=1024, rff_freqs=2048, **kw):
         super().__init__(**kw)
         self.sigma_rgb = sigma_rgb
         self.sigma_xy = sigma_xy
         self.scale_factor = scale_factor
+        self.impl = impl
+        self.n_landmarks = n_landmarks
+        self.rff_freqs = rff_freqs
 
     def compute(self, inputs: LossInputs, t) -> jax.Array:
         probs = softmax_fcams(inputs.fcams)
         return self.lambda_ * dense_crf_loss(
             inputs.raw_img, probs, self.sigma_rgb, self.sigma_xy,
-            self.scale_factor)
+            self.scale_factor, method=self.impl,
+            n_landmarks=self.n_landmarks, rff_freqs=self.rff_freqs)
 
 
 class EntropyFcams(ElementaryLoss):

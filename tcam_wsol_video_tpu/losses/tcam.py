@@ -38,17 +38,21 @@ class SelfLearningTcams(ElementaryLoss):
 
 class ConRanFieldTcams(ElementaryLoss):
     def __init__(self, sigma_rgb=15.0, sigma_xy=100.0, scale_factor=1.0,
-                 **kw):
+                 impl="exact", n_landmarks=1024, rff_freqs=2048, **kw):
         super().__init__(**kw)
         self.sigma_rgb = sigma_rgb
         self.sigma_xy = sigma_xy
         self.scale_factor = scale_factor
+        self.impl = impl
+        self.n_landmarks = n_landmarks
+        self.rff_freqs = rff_freqs
 
     def compute(self, inputs: LossInputs, t) -> jax.Array:
         probs = softmax_fcams(inputs.fcams)
         return self.lambda_ * dense_crf_loss(
             inputs.raw_img, probs, self.sigma_rgb, self.sigma_xy,
-            self.scale_factor)
+            self.scale_factor, method=self.impl,
+            n_landmarks=self.n_landmarks, rff_freqs=self.rff_freqs)
 
 
 class RgbJointConRanFieldTcams(ElementaryLoss):
@@ -56,12 +60,15 @@ class RgbJointConRanFieldTcams(ElementaryLoss):
     contiguous, frames ordered by frm_iter (pipeline contract)."""
 
     def __init__(self, clip_len: int, sigma_rgb=15.0, scale_factor=1.0,
-                 **kw):
+                 impl="exact", n_landmarks=1024, rff_freqs=2048, **kw):
         super().__init__(**kw)
         assert clip_len >= 1
         self.clip_len = clip_len
         self.sigma_rgb = sigma_rgb
         self.scale_factor = scale_factor
+        self.impl = impl
+        self.n_landmarks = n_landmarks
+        self.rff_freqs = rff_freqs
 
     def compute(self, inputs: LossInputs, t) -> jax.Array:
         if self.clip_len < 2:
@@ -78,7 +85,8 @@ class RgbJointConRanFieldTcams(ElementaryLoss):
         # ColorDenseCRF already divides by the (clip) batch size, matching
         # the reference's per-clip calls + mean over clips
         return self.lambda_ * color_dense_crf_loss(
-            imgs, pc, self.sigma_rgb, self.scale_factor)
+            imgs, pc, self.sigma_rgb, self.scale_factor, method=self.impl,
+            n_landmarks=self.n_landmarks, rff_freqs=self.rff_freqs)
 
 
 class EntropyTcams(ElementaryLoss):

@@ -180,6 +180,93 @@ def test_color_crf_matches_dense_oracle(rng):
     np.testing.assert_allclose(got[0], want, rtol=2e-4, atol=2e-4)
 
 
+def _smooth_batch(rng, b, h, w):
+    """Natural-frame-like smooth images + blobby segs (the regime the
+    low-rank CRF paths are designed for)."""
+    y, x = np.mgrid[0:h, 0:w]
+    imgs, segs = [], []
+    for i in range(b):
+        img = np.zeros((h, w, 3))
+        for _ in range(5):
+            cy, cx = rng.integers(0, h), rng.integers(0, w)
+            s = rng.uniform(3, h / 2)
+            img += np.exp(-((y - cy) ** 2 + (x - cx) ** 2)
+                          / (2 * s * s))[..., None] * rng.uniform(40, 120, 3)
+        img += rng.normal(0, 4, img.shape)
+        imgs.append(np.clip(img, 0, 255))
+        s0 = np.clip(np.exp(-((y - h / 2) ** 2 + (x - w / 2) ** 2)
+                            / (2 * (h / 4) ** 2))
+                     + 0.05 * rng.random((h, w)), 0, 1)
+        segs.append(np.stack([s0, 1 - s0], axis=-1))
+    return (np.stack(imgs).astype(np.float32),
+            np.stack(segs).astype(np.float32))
+
+
+def test_landmark_crf_near_exact_on_smooth_frames(rng):
+    """Nystrom landmark filter vs the exact dense kernel: near-exact on
+    natural-frame-like inputs (this is the TPU fast path for the train
+    CRF — grad cosine 1.000000 at 224^2 on chip, see PARITY.md)."""
+    img, segs = _smooth_batch(rng, 3, 24, 28)  # odd batch: exercises pad
+    exact = np.asarray(crf_ops.bilateral_filter_batch(
+        jnp.asarray(img), jnp.asarray(segs), 15.0, 100.0, row_block=128))
+    got = np.asarray(crf_ops.bilateral_filter_batch(
+        jnp.asarray(img), jnp.asarray(segs), 15.0, 100.0,
+        method="landmarks", n_landmarks=144, row_block=128))
+    assert np.isfinite(got).all()
+    rel = np.abs(got - exact).mean() / np.abs(exact).mean()
+    assert rel < 0.02, rel
+    cos = (got * exact).sum() / np.sqrt((got ** 2).sum()
+                                        * (exact ** 2).sum())
+    assert cos > 0.999, cos
+    # color-only variant (temporal joint CRF kernel)
+    exact_c = np.asarray(crf_ops.bilateral_filter_batch(
+        jnp.asarray(img), jnp.asarray(segs), 15.0, None, row_block=128))
+    got_c = np.asarray(crf_ops.bilateral_filter_batch(
+        jnp.asarray(img), jnp.asarray(segs), 15.0, None,
+        method="landmarks", n_landmarks=144, row_block=128))
+    cos_c = (got_c * exact_c).sum() / np.sqrt((got_c ** 2).sum()
+                                              * (exact_c ** 2).sum())
+    assert cos_c > 0.999, cos_c
+
+
+def test_rff_crf_tracks_exact(rng):
+    """Orthogonal random-Fourier-feature filter: unbiased, content-
+    independent approximation; looser tolerance than landmarks."""
+    img, segs = _smooth_batch(rng, 2, 24, 24)
+    exact = np.asarray(crf_ops.bilateral_filter_batch(
+        jnp.asarray(img), jnp.asarray(segs), 15.0, 100.0, row_block=128))
+    got = np.asarray(crf_ops.bilateral_filter_batch(
+        jnp.asarray(img), jnp.asarray(segs), 15.0, 100.0,
+        method="rff", rff_freqs=2048, row_block=128))
+    cos = (got * exact).sum() / np.sqrt((got ** 2).sum()
+                                        * (exact ** 2).sum())
+    assert cos > 0.99, cos
+    # deterministic across calls (fixed frequency key)
+    again = np.asarray(crf_ops.bilateral_filter_batch(
+        jnp.asarray(img), jnp.asarray(segs), 15.0, 100.0,
+        method="rff", rff_freqs=2048, row_block=128))
+    np.testing.assert_array_equal(got, again)
+
+
+def test_crf_loss_impl_grad_is_minus_2as_over_n(rng):
+    """The held-constant -2AS/N backward applies to every impl (both
+    surrogates are symmetric PSD kernels)."""
+    img, segs_np = _smooth_batch(rng, 2, 12, 12)
+    img = jnp.asarray(img)
+    segs = jnp.asarray(segs_np)
+    for method in ("landmarks", "rff"):
+        loss, grad = jax.value_and_grad(
+            lambda s: crf_ops.dense_crf_loss(
+                img, s, 15.0, 100.0, method=method, n_landmarks=36,
+                rff_freqs=512))(segs)
+        as_ = crf_ops.bilateral_filter_batch(
+            img, segs, 15.0, 100.0, method=method, n_landmarks=36,
+            rff_freqs=512)
+        np.testing.assert_allclose(
+            np.asarray(grad), -2 * np.asarray(as_) / 2, rtol=1e-5,
+            atol=1e-5)
+
+
 def test_crf_loss_custom_grad(rng):
     """Backward must be -2*AS/N with AS constant (reference
     dense_crf_loss.py:70-74), NOT the true gradient."""
