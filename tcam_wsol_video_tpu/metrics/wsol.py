@@ -182,9 +182,14 @@ class MaskEvaluator:
 
     def __init__(self, cam_threshold_list: Sequence[float]):
         self.cam_threshold_list = list(cam_threshold_list)
-        # append 2.0 as the terminal bin edge like the reference
-        self.edges = np.asarray(self.cam_threshold_list + [2.0])
-        n = len(self.cam_threshold_list)
+        # reference bin convention (wsol_metrics.py:494-498): thresholds
+        # plus terminal edges [1.0, 2.0, 3.0] — the two extra bins catch
+        # scores above the last threshold so their recall mass is
+        # credited in the AP sum (dropping them undercounts AP by
+        # recall(tau_last), caught by tests/test_golden_pxap.py)
+        self.edges = np.append(np.asarray(self.cam_threshold_list),
+                               [1.0, 2.0, 3.0])
+        n = len(self.cam_threshold_list) + 2
         self.gt_true_hist = np.zeros(n)
         self.gt_false_hist = np.zeros(n)
         self.cnt = 0
@@ -203,17 +208,20 @@ class MaskEvaluator:
         self.gt_false_hist = np.asarray(all_reduce_fn(self.gt_false_hist))
 
     def compute(self) -> float:
+        """PxAP exactly as the reference (wsol_metrics.py:546-584):
+        tp/fp tail-cumulated from the highest bin (descending-threshold
+        order), AP = sum precision * recall increments."""
         n_true = self.gt_true_hist.sum()
         n_false = self.gt_false_hist.sum()
-        # TP(tau_i) = positives scoring >= tau_i = tail sum from bin i
-        tp = n_true - np.cumsum(np.concatenate([[0], self.gt_true_hist[:-1]]))
-        fp = n_false - np.cumsum(np.concatenate([[0],
-                                                 self.gt_false_hist[:-1]]))
-        denom_p = tp + fp
-        precision = np.where(denom_p > 0, tp / np.maximum(denom_p, 1), 1.0)
+        tp = self.gt_true_hist[::-1].cumsum()
+        fp = self.gt_false_hist[::-1].cumsum()
+        nonzero = (tp + fp) != 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            precision = tp / (tp + fp)
         recall = tp / max(n_true, 1)
-        # AP = sum over recall drops
-        ap = float(np.sum((recall[:-1] - recall[1:]) * precision[1:]))
+        if n_false == 0 and n_true == 0:
+            return 0.0
+        ap = float((precision[1:] * np.diff(recall))[nonzero[1:]].sum())
         return ap * 100.0
 
 
