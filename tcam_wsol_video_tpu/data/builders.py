@@ -224,3 +224,139 @@ def build_metadata(raw_root: str, out_root: str, version: str = "v1.0",
         f.write("{" + ", ".join(f"{c}: {i}" for c, i in class_id.items())
                 + "}\n")
     return class_id
+
+
+# ----------------------------------------------------------------- YT-BB
+# The reference ships only a stats checker for YouTube-BoundingBoxes
+# (/root/reference/dlib/datasets/_video_ds_yt_bb.py:1467-1534
+# check_csv/check_object_loc; the build functions in that file are
+# YTOv2.2 copies and its __main__ runs only the checker — incomplete
+# upstream).  Here the capability is completed: the official detection
+# CSV is converted into the same wsol-done-right folds the video loader
+# consumes.
+#
+# CSV format (official yt_bb_detection_{train,validation}.csv):
+#   youtube_id, timestamp_ms, class_id, class_name, object_id,
+#   object_presence ('present'/'absent'), xmin, xmax, ymin, ymax
+# with corner coordinates normalized to [0, 1] (-1 when absent).
+#
+# Frame-file contract: frames extracted at the annotated timestamps,
+# stored as <frames_root>/<class>/<youtube_id>_<object>/0/<timestamp>.jpg
+# ((youtube_id, object) is the "video"; YT-BB annotates one contiguous
+# ~1 fps segment per object, which becomes its single shot "0").
+
+@dataclass
+class YtbbRow:
+    youtube_id: str
+    timestamp_ms: int
+    class_name: str
+    object_id: str
+    present: bool
+    box: Tuple[float, float, float, float]  # normalized x0, x1, y0, y1
+
+
+def parse_ytbb_detection_csv(csv_path: str) -> List[YtbbRow]:
+    rows: List[YtbbRow] = []
+    with open(csv_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            p = line.split(",")
+            rows.append(YtbbRow(
+                youtube_id=p[0], timestamp_ms=int(p[1]), class_name=p[3],
+                object_id=p[4],
+                present=p[5].strip().strip('"') == "present",
+                box=(float(p[6]), float(p[7]), float(p[8]), float(p[9]))))
+    return rows
+
+
+def _ytbb_frame_id(r: YtbbRow) -> str:
+    return (f"{r.class_name}/{r.youtube_id}_{r.object_id}/0/"
+            f"{r.timestamp_ms}.jpg")
+
+
+def _ytbb_index(rows: List[YtbbRow], frames_root: str):
+    """Group rows by (class-pure) video; drop videos whose youtube_id
+    carries several classes (the reference's localization criterion,
+    check_object_loc) and frames missing on disk (box denormalization
+    needs the real size)."""
+    by_yid: Dict[str, set] = {}
+    for r in rows:
+        by_yid.setdefault(r.youtube_id, set()).add(r.class_name)
+    pure = {y for y, cs in by_yid.items() if len(cs) == 1}
+
+    ids: List[str] = []
+    labels_cls: Dict[str, str] = {}
+    sizes: Dict[str, Tuple[int, int]] = {}
+    boxes: Dict[str, List[List[float]]] = {}
+    videos: Dict[str, set] = {}
+    for r in rows:
+        if r.youtube_id not in pure or not r.present:
+            continue
+        fid = _ytbb_frame_id(r)
+        path = os.path.join(frames_root, fid)
+        if not os.path.isfile(path):
+            continue
+        if fid not in sizes:
+            with Image.open(path) as im:
+                w, h = im.size
+            sizes[fid] = (w, h)
+            ids.append(fid)
+            labels_cls[fid] = r.class_name
+            boxes[fid] = []
+            videos.setdefault(r.class_name, set()).add(
+                f"{r.youtube_id}_{r.object_id}")
+        w, h = sizes[fid]
+        x0, x1, y0, y1 = r.box
+        # denormalize to the +1-exclusive pixel convention used by the
+        # YTO builders (x1/y1 exclusive corner)
+        boxes[fid].append([max(x0 * w, 0.0), max(y0 * h, 0.0),
+                           min(x1 * w + 1, float(w)),
+                           min(y1 * h + 1, float(h))])
+    return ids, labels_cls, sizes, boxes, videos
+
+
+def build_ytbb_metadata(csv_train: str, csv_validation: str,
+                        frames_root: str, out_root: str, k_val: int = 3,
+                        seed: int = 0) -> Dict[str, int]:
+    """YT-BB detection CSVs -> wsol-done-right folds.
+
+    The official validation CSV becomes the test split; k_val videos per
+    class held out of the train CSV become val (annotated frames);
+    remaining train videos keep weak labels only — mirroring the YTO
+    held-out-val convention (HELD_OUT_VAL_VIDEOS)."""
+    rng = np.random.default_rng(seed)
+    tr_ids, tr_cls, tr_sizes, tr_boxes, tr_videos = _ytbb_index(
+        parse_ytbb_detection_csv(csv_train), frames_root)
+    te_ids, te_cls, te_sizes, te_boxes, _ = _ytbb_index(
+        parse_ytbb_detection_csv(csv_validation), frames_root)
+
+    classes = sorted(set(tr_cls.values()) | set(te_cls.values()))
+    class_id = {c: i for i, c in enumerate(classes)}
+
+    val_videos: set = set()
+    for cname in classes:
+        vids = sorted(tr_videos.get(cname, set()))
+        sel = rng.permutation(len(vids))[:min(k_val, max(len(vids) - 1, 0))]
+        val_videos.update(vids[i] for i in sel)
+
+    def vid_of(fid: str) -> str:
+        return fid.split("/")[1]
+
+    val_ids = [i for i in tr_ids if vid_of(i) in val_videos]
+    train_ids = [i for i in tr_ids if vid_of(i) not in val_videos]
+
+    _write_split(os.path.join(out_root, "train"), train_ids,
+                 {i: class_id[tr_cls[i]] for i in train_ids}, None, None)
+    _write_split(os.path.join(out_root, "val"), val_ids,
+                 {i: class_id[tr_cls[i]] for i in val_ids},
+                 tr_sizes, tr_boxes)
+    _write_split(os.path.join(out_root, "test"), te_ids,
+                 {i: class_id[te_cls[i]] for i in te_ids},
+                 te_sizes, te_boxes)
+
+    with open(os.path.join(out_root, "class_id.yaml"), "w") as f:
+        f.write("{" + ", ".join(f"{c}: {i}" for c, i in class_id.items())
+                + "}\n")
+    return class_id
