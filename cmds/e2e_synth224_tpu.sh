@@ -9,12 +9,16 @@
 # the run needs no YouTube-Objects download.
 #
 # Usage: bash cmds/e2e_synth224_tpu.sh [workdir] (default /tmp/e2e224)
+# S2_EXTRA passes extra stage-2 flags (e.g. "--crf_impl landmarks" or
+# "--crf_tc_scale 0.5 --crf_tc_lambda 3.2e-8" for the TPU speed recipes).
 set -e
 cd "$(dirname "$0")/.."
 ROOT=${1:-/tmp/e2e224}
 OUT=$ROOT/exps
 EPOCHS_S1=${EPOCHS_S1:-8}
 EPOCHS_S2=${EPOCHS_S2:-8}
+S2_EXTRA=${S2_EXTRA:-}
+S2_ID=${S2_ID:-s2}
 
 python - <<EOF
 from tcam_wsol_video_tpu.data.synthetic import make_synthetic_dataset
@@ -57,8 +61,8 @@ python main.py $COMMON --task TCAM --arch UnetTCAM \
   --crf_tc_sigma_xy 100.0 --crf_tc_scale 1.0 \
   --max_sizepos_tc True --max_sizepos_tc_lambda 0.01 \
   --folder_pre_trained_cl $S1 --std_cams_folder $ROOT/cam_store \
-  --checkpoint_save 0 --outd $OUT --exp_id s2
-S2=$OUT/$TAG/s2
+  --checkpoint_save 0 --outd $OUT --exp_id $S2_ID $S2_EXTRA
+S2=$OUT/$TAG/$S2_ID
 
 # ---- standalone eval of the stage-2 best-localization checkpoint
 python eval.py $COMMON --task TCAM --arch UnetTCAM \

@@ -70,16 +70,47 @@ def _top_fraction_mask(v: Array, n: Array, largest: bool) -> Array:
     return (v >= lo_b) if largest else (v <= hi_b)
 
 
+_BISECT_TOPK_THRESHOLD = 32  # k above this: bisection beats argmax rounds
+_BISECT_TOPK_ITERS = 24      # boundary within 2^-24 of the key range
+
+
 def _gumbel_topk_mask(key: jax.Array, logw: Array, eligible: Array,
                       k: int) -> Array:
-    """Select min(k, #eligible) elements w/o replacement with probabilities
-    proportional to exp(logw), among `eligible`.  Returns a 0/1 mask.
+    """Select ~min(k, #eligible) elements w/o replacement with
+    probabilities proportional to exp(logw), among `eligible` (the
+    Gumbel top-k trick).  Returns a 0/1 mask.
 
-    k is a static (python) count and tiny (~10): k rounds of argmax beat
-    lax.top_k, which lowers to a full sort on TPU.
+    k is a static (python) count.  Small k (~10): k rounds of argmax
+    beat lax.top_k, which lowers to a full sort on TPU.  Large k (the
+    published TCAM recipe samples 1000 seeds): k sequential argmax
+    rounds dominate the train step, so instead threshold the perturbed
+    keys at their k-th largest value found by value-range bisection —
+    O(P) per iteration, fully parallel.  Gumbel keys are continuous, so
+    ties at the boundary are measure-zero and the 2^-24-range band makes
+    the selected count exact in practice (+-1 on adversarial inputs,
+    immaterial for seed sampling).
     """
     g = jax.random.gumbel(key, logw.shape, dtype=jnp.float32)
     keys_ = jnp.where(eligible, logw + g, -jnp.inf)
+
+    if k > _BISECT_TOPK_THRESHOLD:
+        n_elig = jnp.sum(eligible)
+        n = jnp.minimum(k, n_elig)
+        lo = jnp.min(jnp.where(eligible, keys_, jnp.inf))
+        hi = jnp.max(jnp.where(eligible, keys_, -jnp.inf))
+
+        def body(_, bounds):
+            lo_b, hi_b = bounds
+            mid = 0.5 * (lo_b + hi_b)
+            keep = jnp.sum(keys_ >= mid) >= n
+            lo_b = jnp.where(keep, mid, lo_b)
+            hi_b = jnp.where(keep, hi_b, mid)
+            return lo_b, hi_b
+
+        lo_b, _ = jax.lax.fori_loop(0, _BISECT_TOPK_ITERS, body, (lo, hi))
+        mask = (keys_ >= lo_b) & eligible & (n > 0)
+        return mask.astype(jnp.int32)
+
     iota = jax.lax.iota(jnp.int32, keys_.shape[0])
 
     def body(_, carry):

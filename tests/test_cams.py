@@ -179,6 +179,37 @@ def test_top_fraction_mask_statistical_parity_vs_exact_sort(rng):
     assert np.median(jaccards) > 0.99, np.median(jaccards)
 
 
+def test_gumbel_topk_bisection_path_large_k(rng):
+    """k > 32 switches to the bisection threshold path: count must land
+    on k (+-1 boundary tolerance), selections stay eligible, and
+    weighted sampling still prefers high-weight elements."""
+    from tcam_wsol_video_tpu.cams.seeding import _gumbel_topk_mask
+
+    p, k = 10_000, 1000
+    logw = jnp.asarray(rng.standard_normal(p).astype(np.float32))
+    elig = jnp.asarray(rng.random(p) < 0.5)
+    for s in range(3):
+        m = np.asarray(_gumbel_topk_mask(jax.random.PRNGKey(s), logw,
+                                         elig, k))
+        assert abs(int(m.sum()) - k) <= 1, m.sum()
+        assert not m[~np.asarray(elig)].any()
+    # k >= #eligible: everything eligible selected
+    small_elig = jnp.asarray(np.arange(p) < 40)
+    m = np.asarray(_gumbel_topk_mask(jax.random.PRNGKey(0), logw,
+                                     small_elig, k))
+    assert int(m.sum()) == 40
+    # nothing eligible: empty mask
+    m = np.asarray(_gumbel_topk_mask(jax.random.PRNGKey(0), logw,
+                                     jnp.zeros(p, bool), k))
+    assert int(m.sum()) == 0
+    # weighted preference: strong-weight half dominates the selection
+    logw2 = jnp.asarray(np.where(np.arange(p) < p // 2, 4.0, -4.0
+                                 ).astype(np.float32))
+    m = np.asarray(_gumbel_topk_mask(jax.random.PRNGKey(1), logw2,
+                                     jnp.ones(p, bool), k))
+    assert m[:p // 2].sum() > 0.9 * k
+
+
 def test_tcam_seeder_degenerate_cam_all_ignore():
     cams = jnp.ones((1, 8, 8), jnp.float32) * 0.3
     cfg = seeding.TCAMSeederCfg(min_=3, max_=3)
