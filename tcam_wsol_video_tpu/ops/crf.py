@@ -181,7 +181,8 @@ def _kmat_batched(a: jax.Array, b: jax.Array) -> jax.Array:
 def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
                                     idx: jax.Array,
                                     ridge: float = 1e-2,
-                                    group: int = 8) -> jax.Array:
+                                    group: int = 8,
+                                    knm_dtype=jnp.float32) -> jax.Array:
     """AS ~= K_nm (K_mm + ridge I)^-1 K_mn vals — batched Nystrom filter.
 
     The permutohedral lattice works because a natural image's pixels lie
@@ -202,6 +203,13 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
     and small matmuls (~18 ms/img), batching brings it to ~3.6 ms/img at
     224^2/M=1024, while the (group, P, M) kernel block stays ~1.6 GB.
 
+    `knm_dtype` stores the (G, P, M) K_nm block at reduced width for
+    its two consumers (K_mn v, K_nm alpha).  Measured on chip this does
+    NOT help (the filter is exp-bound on the VPU, not HBM-bound: bf16 is
+    +-2% at M=1024 and slower at M=512, identical AS error) — fp32 stays
+    the default; the knob exists for future hardware where the balance
+    differs.
+
     feats: (B, P, D) centered, vals: (B, P, K) fp32 -> (B, P, K) fp32.
     """
     from jax.scipy.linalg import cho_factor, cho_solve
@@ -217,14 +225,14 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
     def one_group(fv):
         f, v = fv                                          # (G,P,D),(G,P,K)
         fm = f[:, idx]                                     # (G, M, D)
-        knm = _kmat_batched(f, fm)                         # (G, P, M)
+        knm = _kmat_batched(f, fm).astype(knm_dtype)       # (G, P, M)
         kmm = _kmat_batched(fm, fm)                        # (G, M, M)
         kmm = kmm + jnp.float32(ridge) * jnp.eye(m, dtype=jnp.float32)
-        rhs = jnp.einsum("gpm,gpk->gmk", knm, v,
+        rhs = jnp.einsum("gpm,gpk->gmk", knm, v.astype(knm_dtype),
                          preferred_element_type=jnp.float32)
         alpha = jax.vmap(
             lambda kk, bb: cho_solve(cho_factor(kk), bb))(kmm, rhs)
-        return jnp.einsum("gpm,gmk->gpk", knm, alpha,
+        return jnp.einsum("gpm,gmk->gpk", knm, alpha.astype(knm_dtype),
                           preferred_element_type=jnp.float32)
 
     out = lax.map(one_group,
