@@ -266,3 +266,66 @@ def fcam_seeder(key: jax.Array, cams: Array, cfg: FCAMSeederCfg) -> Array:
     """Batched FCAM (MBSeederSLFCAMS) seeding.  cams: (B, H, W)."""
     keys = jax.random.split(key, cams.shape[0])
     return jax.vmap(lambda k, c: _fcam_seed_one(k, c, cfg))(keys, cams)
+
+
+@dataclass(frozen=True)
+class CBoxSeederCfg:
+    """Reference SeederCBOX knobs (fcam_seeding.py:393-550 with
+    _CBOXOneSample :126-224)."""
+    n: int = 1               # fg AND bg sample count
+    bg_low_z: float = 0.3    # bg pool = bottom z-fraction, z ~ U[low, up]
+    bg_up_z: float = 0.4
+    fg_erode_k: int = 11
+    fg_erode_iter: int = 1
+    ksz: int = 3             # seed dilation kernel
+    seg_ignore_idx: int = constants.SEG_IGNORE_IDX
+
+
+def _cbox_seed_one(key: jax.Array, cam: Array, cfg: CBoxSeederCfg) -> Array:
+    """One-sample C_BOX seeding (reference _CBOXOneSample.forward):
+    fg = n uniform samples from the eroded Otsu ROI of the CAM;
+    bg = n uniform samples from the bottom z-fraction of CAM values with
+    z ~ U[bg_low_z, bg_up_z] drawn per sample per step;
+    both dilated by ksz, collisions cleared, {1, 0, ignore} output."""
+    h, w = cam.shape
+    p = h * w
+    kf, kb, kz = jax.random.split(key, 3)
+
+    cam_ = jnp.floor(cam * 255.0)
+    th = otsu_threshold_255(cam_)
+    # reference fallbacks (_CBOXOneSample :161-171): degenerate histogram
+    # -> median; clamp the threshold into (0, 255)
+    th = jnp.where(jnp.max(cam_) == jnp.min(cam_), jnp.median(cam_), th)
+    th = jnp.where(th == 0.0, 1.0, th)
+    th = jnp.where(th >= 255.0, 254.0, th)
+    roi = (cam_ > th).astype(jnp.float32)          # strict > per reference
+    if cfg.fg_erode_iter > 0:
+        roi = morphology.erode(roi, cfg.fg_erode_k, cfg.fg_erode_iter)
+
+    fg_elig = roi.reshape(p) > 0
+    fg = _gumbel_topk_mask(kf, jnp.zeros((p,), jnp.float32), fg_elig,
+                           max(int(cfg.n), 1))
+
+    z = jax.random.uniform(kz, (), minval=cfg.bg_low_z, maxval=cfg.bg_up_z)
+    n_bg = jnp.minimum(jnp.ceil(z * p).astype(jnp.int32), p)
+    bg_elig = _top_fraction_mask(cam.reshape(p) + 1e-8, n_bg,
+                                 largest=False) & (n_bg > 0)
+    bg = _gumbel_topk_mask(kb, jnp.zeros((p,), jnp.float32), bg_elig,
+                           max(int(cfg.n), 1))
+
+    fg = morphology.dilate(fg.reshape(h, w), cfg.ksz)
+    bg = morphology.dilate(bg.reshape(h, w), cfg.ksz)
+    both = (fg + bg) == 2
+    fg = jnp.where(both, 0, fg)
+    bg = jnp.where(both, 0, bg)
+
+    out = jnp.full((h, w), cfg.seg_ignore_idx, jnp.int32)
+    out = jnp.where(fg == 1, 1, out)
+    out = jnp.where(bg == 1, 0, out)
+    return out
+
+
+def cbox_seeder(key: jax.Array, cams: Array, cfg: CBoxSeederCfg) -> Array:
+    """Batched C_BOX (SeederCBOX) seeding.  cams: (B, H, W) in [0, 1]."""
+    keys = jax.random.split(key, cams.shape[0])
+    return jax.vmap(lambda k, c: _cbox_seed_one(k, c, cfg))(keys, cams)

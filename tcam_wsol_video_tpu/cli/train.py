@@ -58,7 +58,10 @@ def build_data(args: HParams, kc: KeyChain):
     cam_store = CamStore(args.std_cams_folder) if args.std_cams_folder \
         else None
 
-    train_md = load_split_metadata(meta_root, constants.TRAINSET)
+    # proxy_training_set trains on the reduced image_ids_proxy.txt subset
+    # (reference get_data_loader, wsol_loader.py:995)
+    train_md = load_split_metadata(meta_root, constants.TRAINSET,
+                                   proxy=args.proxy_training_set)
     train_ds = WSOLVideoDataset(
         train_md, data_root, constants.TRAINSET, args.dataset,
         PairedTransform(args.resize_size, args.crop_size, train=True),
@@ -75,6 +78,12 @@ def build_data(args: HParams, kc: KeyChain):
     eval_pipes = {}
     for split in (constants.VALIDSET, constants.TESTSET):
         md = load_split_metadata(meta_root, split)
+        if split == constants.VALIDSET and args.num_val_sample_per_class:
+            # mini-val: n random ids per class (reference
+            # num_val_sample_per_class, wsol_loader.py:999 + :424-445)
+            from tcam_wsol_video_tpu.data.folds import subsample_per_class
+            md = subsample_per_class(md, args.num_val_sample_per_class,
+                                     kc.numpy_rng("val_subsample"))
         ds = WSOLVideoDataset(
             md, data_root, split, args.dataset,
             PairedTransform(args.resize_size, args.crop_size, train=False),

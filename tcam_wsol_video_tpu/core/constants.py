@@ -147,6 +147,13 @@ CHP_T = "t"            # ELB temperature (the reference checkpoints it:
 CHP_BEST_M = "best_model"
 CHP_CP = "checkpoint"
 
+# ------------------------------------------- size estimation (C_BOX priors)
+# reference constants.py:325-326; SIZE_DATA takes per-class min sizes from
+# the validation split's GT boxes (wsol_loader.build_size_priors :658-691)
+SIZE_DATA = "size_data"
+SIZE_CONST = "size_constant"
+SIZE_TYPES = (SIZE_DATA, SIZE_CONST)
+
 # ------------------------------------------------ eval speed/fidelity knobs
 # validation uses a coarser cam-threshold sweep above this dataset size
 # (reference constants.py:294)

@@ -86,6 +86,10 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "metadata_root": constants.RELATIVE_META_ROOT,
         "std_cams_folder": "",          # stage-1 CAM store (TCAM input)
         "num_workers": 4,
+        "proxy_training_set": False,    # train on image_ids_proxy.txt
+        "num_val_sample_per_class": 0,  # mini-val: n ids/class (0 = all)
+        "mask_root": "",                # OpenImages GT-mask tree
+                                        # ("" = under data_root)
         # bucketed train-set streaming (ILSVRC only): the train split is
         # pre-chunked into nbr_chunks metadata files grouped into buckets
         # of bucket_sz; the trainer iterates buckets per epoch (reference
@@ -266,18 +270,48 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "seg_ignore_idx": constants.SEG_IGNORE_IDX,
 
         # ---------------------------------------------------------- C_BOX
+        # flag names follow the reference C_BOX block 1:1
+        # (/root/reference/dlib/configure/config.py:504-549) so recipes
+        # translate unchanged.
+        "cb_pretrained_cl_ch_pt": constants.BEST_CL,
         "cb_area_box": False,
-        "cb_area_box_lambda": 1.0,
-        "cb_cl_scoring": False,
-        "cb_cl_scoring_lambda": 1.0,
-        "cb_seed": False,
-        "cb_seed_lambda": 1.0,
-        "cb_box_bounds": False,
-        "cb_box_bounds_lambda": 1.0,
-        "cb_scale_domain": 1.0,
+        "cb_area_box_l": 1.0,
+        "cb_area_normed": False,
+        "cb_area_box_start_epoch": 0,
+        "cb_area_box_end_epoch": -1,
+        "cb_cl_score": False,
+        "cb_cl_score_l": 1.0,
+        "cb_cl_score_start_epoch": 0,
+        "cb_cl_score_end_epoch": -1,
+        "cb_cl_score_blur_ksize": 65,   # odd; blurred-bg composite kernel
+        "cb_cl_score_blur_sigma": 60.0,
+        "cb_pp_box": False,             # BoxBounds regression on the
+                                        # sanitized previous prediction
+        "cb_pp_box_l": 1.0,
+        "cb_pp_box_start_epoch": 0,
+        "cb_pp_box_end_epoch": -1,
+        "cb_pp_box_alpha": 0.1,   # accepted for recipe parity; vestigial
+                                  # upstream (flag + default only, no
+                                  # consumer — verified by grep)
+        "cb_pp_box_min_size_type": constants.SIZE_DATA,
         "cb_pp_box_min_size": 0.05,   # min box area fraction before the
                                       # pre-forward re-randomizes it
-        "cb_area_normed": False,
+        "cb_seed": False,
+        "cb_seed_l": 1.0,
+        "cb_seed_start_epoch": 0,
+        "cb_seed_end_epoch": -1,
+        "cb_seed_erode_k": 11,
+        "cb_seed_erode_iter": 1,
+        "cb_seed_ksz": 3,
+        "cb_seed_n": 1,
+        "cb_seed_bg_low_z": 0.3,
+        "cb_seed_bg_up_z": 0.4,
+        "cb_seed_bg_z_type": constants.SIZE_DATA,  # accepted for recipe
+        # parity; the reference never consumes it (grep: only the flag and
+        # the default exist) — bg z always samples U[low_z, up_z]
+        "cb_init_box_size": 0.95,   # fallback box size ~ N(size, var)
+        "cb_init_box_var": 0.015,
+        "cb_scale_domain": 1.0,
         "freeze_encoder": False,
 
         # --------------------------------------------------- parallelism
@@ -289,7 +323,8 @@ def get_config(dataset: str) -> Dict[str, Any]:
 
         # ---------------------------------------------------------- misc
         "log_every": 10,
-        "plot_progress": False,
+        "plot_tr_cam_progress": False,
+        "plot_tr_cam_progress_n": 4,      # frames in the progress grid
         "demo_video": False,
     }
     return cfg
@@ -381,6 +416,14 @@ def finalize(args: HParams) -> HParams:
         assert args.arch == constants.UNETFCAM
     if args.task == constants.C_BOX:
         assert args.arch == constants.DENSEBOXNET
+        assert args.cb_pp_box_min_size_type in constants.SIZE_TYPES
+        assert args.cb_seed_bg_z_type in constants.SIZE_TYPES
+        assert args.cb_pretrained_cl_ch_pt in constants.CHECKPOINT_TYPES
+        assert args.cb_cl_score_blur_ksize % 2 == 1, "blur ksize must be odd"
+        assert 0.0 <= args.cb_seed_bg_low_z <= args.cb_seed_bg_up_z <= 1.0
+        assert 0.0 < args.cb_init_box_size <= 1.0
+        assert args.cb_init_box_var >= 0.0
+        assert args.cb_seed_n >= 1
 
     # pooling must match the CAM method (reference METHOD_2_POOLINGHEAD)
     want_pool = constants.METHOD_2_POOLINGHEAD[args.method]

@@ -38,10 +38,16 @@ def _read_lines(path: str) -> List[str]:
 
 
 def load_split_metadata(metadata_root: str, split: str,
-                        image_ids: Optional[List[str]] = None
+                        image_ids: Optional[List[str]] = None,
+                        proxy: bool = False
                         ) -> SplitMetadata:
+    """proxy=True reads image_ids_proxy.txt instead — the reduced
+    train-split stand-in used for train-set evaluation (reference
+    configure_metadata/get_image_ids `proxy` suffix,
+    /root/reference/dlib/datasets/wsol_loader.py:64-90)."""
     root = os.path.join(metadata_root, split)
-    ids = image_ids or _read_lines(os.path.join(root, "image_ids.txt"))
+    ids_file = "image_ids_proxy.txt" if proxy else "image_ids.txt"
+    ids = image_ids or _read_lines(os.path.join(root, ids_file))
 
     labels: Dict[str, int] = {}
     for ln in _read_lines(os.path.join(root, "class_labels.txt")):
@@ -89,6 +95,63 @@ def load_gt_mask(md: SplitMetadata, mask_root: str, image_id: str,
         out = np.maximum(out, (np.asarray(m, np.float32) > 127).astype(
             np.float32))
     return out
+
+
+def subsample_per_class(md: SplitMetadata, n_per_class: int,
+                        rng: np.random.Generator) -> SplitMetadata:
+    """Keep n_per_class randomly chosen ids per class (reference
+    _adjust_samples_per_class, wsol_loader.py:424-445 — the
+    num_val_sample_per_class mini-val knob).  n_per_class=0 is identity."""
+    if n_per_class == 0:
+        return md
+    ids = np.asarray(md.image_ids)
+    labels = np.asarray([md.labels[i] for i in md.image_ids])
+    keep: List[str] = []
+    for lab in np.unique(labels):
+        idx = np.where(labels == lab)[0]
+        take = min(n_per_class, len(idx))
+        keep += ids[rng.choice(idx, take, replace=False)].tolist()
+    return SplitMetadata(
+        split=md.split, image_ids=keep,
+        labels={i: md.labels[i] for i in keep},
+        sizes={i: md.sizes[i] for i in keep if i in md.sizes},
+        boxes={i: md.boxes[i] for i in keep if i in md.boxes},
+        mask_paths={i: md.mask_paths[i] for i in keep
+                    if i in md.mask_paths})
+
+
+def build_size_priors(md: SplitMetadata, crop_size: int,
+                      num_classes: int) -> Dict[str, np.ndarray]:
+    """Per-class box-size priors from a split's GT boxes resized to
+    crop_size (reference WSOLImageLabelDataset.build_size_priors,
+    /root/reference/dlib/datasets/wsol_loader.py:645-691): for each class,
+    min/max of normalized box height, width and area over every GT box.
+
+    Returns {'min_h','max_h','min_w','max_w','min_s','max_s'} ->
+    (num_classes,) float arrays.  Classes with no boxes keep the neutral
+    defaults (min=0, max=1) — the C_BOX pre-forward then behaves like
+    SIZE_CONST for them.
+    """
+    mins = {k: np.full((num_classes,), np.inf, np.float32)
+            for k in ("min_h", "min_w", "min_s")}
+    maxs = {k: np.zeros((num_classes,), np.float32)
+            for k in ("max_h", "max_w", "max_s")}
+    for iid in md.image_ids:
+        lab = md.labels[iid]
+        for x0, y0, x1, y1 in resized_gt_boxes(md, iid, crop_size):
+            w = (x1 - x0) / float(crop_size)
+            h = (y1 - y0) / float(crop_size)
+            s = h * w
+            for k, v in (("min_h", h), ("min_w", w), ("min_s", s)):
+                mins[k][lab] = min(mins[k][lab], v)
+            for k, v in (("max_h", h), ("max_w", w), ("max_s", s)):
+                maxs[k][lab] = max(maxs[k][lab], v)
+    for k in mins:
+        mins[k] = np.where(np.isfinite(mins[k]), mins[k], 0.0
+                           ).astype(np.float32)
+    for k in maxs:
+        maxs[k] = np.where(maxs[k] > 0, maxs[k], 1.0).astype(np.float32)
+    return {**mins, **maxs}
 
 
 def resized_gt_boxes(md: SplitMetadata, image_id: str,

@@ -23,7 +23,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from tcam_wsol_video_tpu.cams.seeding import FCAMSeederCfg, fcam_seeder
+from tcam_wsol_video_tpu.cams.seeding import CBoxSeederCfg, cbox_seeder
+from tcam_wsol_video_tpu.core import constants
 from tcam_wsol_video_tpu.engine.state import TrainState
 from tcam_wsol_video_tpu.engine.steps import _apply_model
 from tcam_wsol_video_tpu.losses.cbox import CBoxInputs
@@ -33,28 +34,37 @@ from tcam_wsol_video_tpu.ops import box_stats as bs
 Array = jax.Array
 
 
-def _rand_boxes(key: jax.Array, n: int, h: int, w: int,
-                min_size: float) -> tuple:
-    """Random boxes covering ~min_size fraction of the image (reference
-    _gen_rand_init_box)."""
-    frac = jnp.sqrt(jnp.clip(min_size, 0.01, 1.0))
-    bh = jnp.maximum(frac * h, 2.0)
-    bw = jnp.maximum(frac * w, 2.0)
-    k1, k2 = jax.random.split(key)
-    y0 = jax.random.uniform(k1, (n,)) * (h - bh - 1)
-    x0 = jax.random.uniform(k2, (n,)) * (w - bw - 1)
-    x_hat = jnp.stack([y0, y0 + bh], axis=1)   # reference x binds height
-    y_hat = jnp.stack([x0, x0 + bw], axis=1)
-    return x_hat, y_hat
+def _init_boxes(key: jax.Array, n: int, h: int, w: int, minsz: Array,
+                size_mean: float, size_var: float) -> tuple:
+    """Centered fallback boxes of area fraction s ~ N(size_mean, size_var)
+    clamped to [minsz, 0.99] (reference _gen_rand_init_box,
+    train_wsol.py:521-541).  minsz: (n,) per-sample minimum (per-class
+    size prior or the constant flag)."""
+    s = size_mean + jnp.sqrt(size_var) * jax.random.normal(key, (n,))
+    s = jnp.clip(s, minsz, 0.99)
+    half = jnp.sqrt(s) / 2.0
+    x_hat = jnp.stack([jnp.maximum(h / 2.0 - h * half, 0.0),
+                       jnp.minimum(h / 2.0 + h * half, h - 1.0)], axis=1)
+    y_hat = jnp.stack([jnp.maximum(w / 2.0 - w * half, 0.0),
+                       jnp.minimum(w / 2.0 + w * half, w - 1.0)], axis=1)
+    return x_hat, y_hat   # reference x binds the height axis
 
 
 def make_cbox_train_step(model, classifier_model, master_loss: MasterLoss,
                          optimizer, args,
-                         seeder_cfg: Optional[FCAMSeederCfg] = None):
+                         seeder_cfg: Optional[CBoxSeederCfg] = None,
+                         size_priors_min_s=None):
+    """size_priors_min_s: (num_classes,) per-class minimum box-area
+    fraction from the validation split's GT boxes — consumed when
+    cb_pp_box_min_size_type == SIZE_DATA (reference vl_size_priors
+    threading, train_wsol.py:347-351 + 664-680)."""
     h = w = args.crop_size
     scale_domain = args.cb_scale_domain
-    min_size = args.cb_pp_box_min_size
     needs_seeds = args.cb_seed
+    use_prior = (args.cb_pp_box_min_size_type == constants.SIZE_DATA
+                 and size_priors_min_s is not None)
+    priors = (jnp.asarray(size_priors_min_s, jnp.float32)
+              if use_prior else None)
 
     def train_step(state: TrainState, batch, switches, key,
                    cls_params, cls_bstats):
@@ -62,23 +72,29 @@ def make_cbox_train_step(model, classifier_model, master_loss: MasterLoss,
         images = batch["image"]
         n = images.shape[0]
 
+        minsz = (priors[batch["label"]] if use_prior
+                 else jnp.full((n,), args.cb_pp_box_min_size, jnp.float32))
+
         # 1. pre-forward: sanitized previous prediction as bounds target
         out_pre, _ = _apply_model(model, state.params, state.batch_stats,
                                   images, train=False)
         px, py, pvalid, parea, _, _ = bs.box_stats(
             jax.lax.stop_gradient(out_pre["box"]), h, w, scale_domain,
             eval_mode=True)
-        rx, ry = _rand_boxes(k_rand, n, h, w, min_size)
-        bad = (pvalid == 0) | (parea / float(h * w) < min_size)
+        rx, ry = _init_boxes(k_rand, n, h, w, minsz,
+                             args.cb_init_box_size, args.cb_init_box_var)
+        bad = (pvalid == 0) | (parea / float(h * w) < minsz)
         pre_x = jnp.where(bad[:, None], rx, px)
         pre_y = jnp.where(bad[:, None], ry, py)
 
         # seeds from the stage-1 CAM store
         seeds = None
         if needs_seeds:
-            seeds = fcam_seeder(k_seed, batch["std_cam"], seeder_cfg)
+            seeds = cbox_seeder(k_seed, batch["std_cam"], seeder_cfg)
 
-        blurred = bs.gaussian_blur(images)
+        blurred = bs.gaussian_blur(images,
+                                   ksize=args.cb_cl_score_blur_ksize,
+                                   sigma=args.cb_cl_score_blur_sigma)
 
         def loss_fn(params):
             out, new_bstats = _apply_model(model, params, state.batch_stats,
@@ -91,7 +107,7 @@ def make_cbox_train_step(model, classifier_model, master_loss: MasterLoss,
                                       cls_bstats, img_fg, train=False)
             logits_fg = cls_out["cl_logits"]
             logits_bg = logits_clean = None
-            if args.cb_cl_scoring:
+            if args.cb_cl_score:
                 img_bg = bs.compose_bg_image(images, blurred, m_fg, m_bg)
                 logits_bg = _apply_model(classifier_model, cls_params,
                                          cls_bstats, img_bg,
@@ -151,7 +167,9 @@ def make_cbox_eval_step(model, classifier_model, args):
         out, _ = _apply_model(model, params, bstats, images, train=False)
         x, y, valid, area, m_fg, m_bg = bs.box_stats(
             out["box"], h, w, scale_domain, eval_mode=True)
-        blurred = bs.gaussian_blur(images)
+        blurred = bs.gaussian_blur(images,
+                                   ksize=args.cb_cl_score_blur_ksize,
+                                   sigma=args.cb_cl_score_blur_sigma)
         img_fg = bs.compose_fg_image(images, blurred, m_fg, m_bg)
         logits = _apply_model(classifier_model, cls_params, cls_bstats,
                               img_fg, train=False)[0]["cl_logits"]

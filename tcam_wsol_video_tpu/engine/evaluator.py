@@ -93,7 +93,12 @@ class CamEvaluator:
             for i, iid in enumerate(batch["image_id"]):
                 if not valid[i]:
                     continue
-                mask = load_gt_mask(self.ds.md, self.ds.data_root, iid,
+                # masks live under mask_root when set (reference keeps
+                # them in a separate tree, config.py:560-562), else
+                # alongside the images
+                mroot = (getattr(self.args, "mask_root", "")
+                         or self.ds.data_root)
+                mask = load_gt_mask(self.ds.md, mroot, iid,
                                     self.args.crop_size)
                 ev.accumulate(cams_np[i], mask)
         if reduce_fn is not None:

@@ -145,17 +145,28 @@ class Trainer:
         seeder_cfg = None
         if args.task == constants.C_BOX:
             assert classifier is not None, "C_BOX needs a frozen classifier"
-            from tcam_wsol_video_tpu.cams.seeding import FCAMSeederCfg
+            from tcam_wsol_video_tpu.cams.seeding import CBoxSeederCfg
             from tcam_wsol_video_tpu.engine.cbox_steps import \
                 make_cbox_train_step
-            cbox_seeder = FCAMSeederCfg(
-                min_=args.sl_min, max_=args.sl_max, min_p=args.sl_min_p,
-                fg_erode_k=args.sl_fg_erode_k,
-                fg_erode_iter=args.sl_fg_erode_iter, ksz=args.sl_ksz,
+            cbox_seeder = CBoxSeederCfg(
+                n=args.cb_seed_n, bg_low_z=args.cb_seed_bg_low_z,
+                bg_up_z=args.cb_seed_bg_up_z,
+                fg_erode_k=args.cb_seed_erode_k,
+                fg_erode_iter=args.cb_seed_erode_iter, ksz=args.cb_seed_ksz,
                 seg_ignore_idx=args.seg_ignore_idx)
+            # per-class min box sizes from the val split's GT boxes
+            # (reference vl_size_priors, train_wsol.py:347-351)
+            priors_min_s = None
+            if args.cb_pp_box_min_size_type == constants.SIZE_DATA:
+                from tcam_wsol_video_tpu.data.folds import build_size_priors
+                val = eval_pipes.get(constants.VALIDSET)
+                assert val is not None, (
+                    "cb_pp_box_min_size_type=size_data needs a val split")
+                priors_min_s = build_size_priors(
+                    val[0].md, args.crop_size, args.num_classes)["min_s"]
             self.train_step = make_cbox_train_step(
                 model, classifier[0], self.master_loss, self.optimizer,
-                args, cbox_seeder)
+                args, cbox_seeder, size_priors_min_s=priors_min_s)
         if args.task in (constants.TCAM, constants.F_CL):
             seeder_cfg = TCAMSeederCfg(
                 seed_tech=args.sl_tc_seed_tech, min_=args.sl_tc_min,
@@ -335,7 +346,7 @@ class Trainer:
             ckpt.keep_last_n_checkpoints(self.outd,
                                          args.keep_last_n_checkpoints)
             self.save_meters()
-        if self.is_master and args.plot_progress:
+        if self.is_master and args.plot_tr_cam_progress:
             self._plot_progress(epoch)
 
         # NOTE: no host-side reduction of train totals — the train step
@@ -460,7 +471,7 @@ class Trainer:
             from tcam_wsol_video_tpu.viz.wsol_viz import plot_progress_grid
             if not hasattr(self, "_progress_items"):
                 ds = self.train_pipe.ds
-                n = min(4, len(ds))
+                n = min(self.args.plot_tr_cam_progress_n, len(ds))
                 self._progress_items = [ds.get_item(i)[0] for i in range(n)]
                 self._progress_step = make_cam_eval_step(self.model,
                                                          self.args)

@@ -100,19 +100,29 @@ class BoxBounds(ElementaryLoss):
 
 
 def get_loss_cbox(args):
-    """Per-flag assembly (reference instantiators.get_loss_cbox :255)."""
+    """Per-flag assembly (reference instantiators.get_loss_cbox :255-315):
+    same flag names (cb_*_l lambdas, cb_pp_box gating BoxBounds) and the
+    same per-loss epoch windows."""
     from tcam_wsol_video_tpu.losses.core import MasterLoss
     ml = MasterLoss()
     c = dict(support_background=args.support_background,
              multi_label_flag=args.multi_label_flag,
              seg_ignore_idx=args.seg_ignore_idx)
     if args.cb_area_box:
-        ml.add(AreaBox(lambda_=args.cb_area_box_lambda, **c))
-    if args.cb_cl_scoring:
-        ml.add(ClScoring(lambda_=args.cb_cl_scoring_lambda, **c))
+        ml.add(AreaBox(lambda_=args.cb_area_box_l,
+                       start_ep=args.cb_area_box_start_epoch,
+                       end_ep=args.cb_area_box_end_epoch, **c))
+    if args.cb_cl_score:
+        ml.add(ClScoring(lambda_=args.cb_cl_score_l,
+                         start_ep=args.cb_cl_score_start_epoch,
+                         end_ep=args.cb_cl_score_end_epoch, **c))
     if args.cb_seed:
-        ml.add(SeedCbox(lambda_=args.cb_seed_lambda, **c))
-    if args.cb_box_bounds:
-        ml.add(BoxBounds(lambda_=args.cb_box_bounds_lambda, **c))
+        ml.add(SeedCbox(lambda_=args.cb_seed_l,
+                        start_ep=args.cb_seed_start_epoch,
+                        end_ep=args.cb_seed_end_epoch, **c))
+    if args.cb_pp_box:
+        ml.add(BoxBounds(lambda_=args.cb_pp_box_l,
+                         start_ep=args.cb_pp_box_start_epoch,
+                         end_ep=args.cb_pp_box_end_epoch, **c))
     assert ml.losses, "C_BOX training requires at least one loss flag"
     return ml

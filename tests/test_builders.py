@@ -144,3 +144,31 @@ def test_build_ytbb_metadata(tmp_path):
     # val frames carry boxes; train has weak labels only
     assert all(val.boxes[i] for i in val.image_ids)
     assert not train.boxes
+
+
+def test_proxy_split_and_subsample(tmp_path):
+    """proxy_training_set reads image_ids_proxy.txt; mini-val keeps
+    n random ids per class (reference wsol_loader.py:64-90, :424-445)."""
+    import numpy as np
+    from tcam_wsol_video_tpu.data.folds import (load_split_metadata,
+                                                subsample_per_class)
+
+    root = tmp_path / "folds" / "train"
+    root.mkdir(parents=True)
+    ids = [f"im{i}" for i in range(6)]
+    (root / "image_ids.txt").write_text("\n".join(ids) + "\n")
+    (root / "image_ids_proxy.txt").write_text("im0\nim3\n")
+    (root / "class_labels.txt").write_text(
+        "\n".join(f"{i},{k % 2}" for k, i in enumerate(ids)) + "\n")
+
+    md = load_split_metadata(str(tmp_path / "folds"), "train")
+    assert len(md) == 6
+    mdp = load_split_metadata(str(tmp_path / "folds"), "train", proxy=True)
+    assert mdp.image_ids == ["im0", "im3"]
+    assert mdp.labels["im3"] == 1
+
+    sub = subsample_per_class(md, 1, np.random.default_rng(0))
+    assert len(sub) == 2
+    assert sorted({sub.labels[i] for i in sub.image_ids}) == [0, 1]
+    # n=0 is identity
+    assert subsample_per_class(md, 0, np.random.default_rng(0)) is md

@@ -33,8 +33,9 @@ def test_cbox_train_and_eval(synth, tmp_path_factory):
                max_epochs=1, num_workers=2, compute_dtype="float32",
                checkpoint_save=0, cam_curve_interval=0.05, mesh_dp=1, log_every=0,
                fast_eval=False, lr=0.01,
-               cb_area_box=True, cb_cl_scoring=True, cb_seed=True,
-               cb_box_bounds=True, sl_max=4, sl_min=4, sl_fg_erode_iter=0,
+               cb_area_box=True, cb_cl_score=True, cb_seed=True,
+               cb_pp_box=True, cb_seed_n=4, cb_seed_erode_iter=0,
+               cb_cl_score_blur_ksize=9, cb_cl_score_blur_sigma=4.0,
                outd=str(tmp_path_factory.mktemp("exps")), exp_id="cb",
                data_root=os.path.dirname(synth["data_root"]),
                metadata_root=synth["metadata_root"])

@@ -102,7 +102,7 @@ def test_std_cl_train_and_eval_e2e(synth):
     from tcam_wsol_video_tpu.engine.trainer import Trainer
     from tcam_wsol_video_tpu.models.factory import create_model_from_args
 
-    args = _small_args(max_epochs=6, lr=0.1, plot_progress=True)
+    args = _small_args(max_epochs=6, lr=0.1, plot_tr_cam_progress=True)
     kc = KeyChain(0)
     md_tr = load_split_metadata(synth["metadata_root"], "train")
     ds_tr = WSOLVideoDataset(md_tr, synth["data_root"], "train", C.YTOV1,
