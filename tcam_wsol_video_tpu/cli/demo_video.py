@@ -88,7 +88,8 @@ def main(argv=None):
             pred_boxes, _ = scoremap_to_boxes(
                 cams_np[i], [ns.tau], multi_contour=False)
             gt = ds.eval_gt_boxes(iid)
-            frame = wsol_viz.cam_overlay(batch["raw_img"][i], cams_np[i])
+            frame = wsol_viz.cam_overlay(batch["raw_img"][i], cams_np[i],
+                                         alpha=args.alpha_visu / 255.0)
             frame = wsol_viz.draw_boxes(frame, gt, wsol_viz.GT_COLOR)
             frame = wsol_viz.draw_boxes(frame, pred_boxes[0],
                                         wsol_viz.PRED_COLOR)

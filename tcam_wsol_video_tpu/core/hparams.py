@@ -325,6 +325,10 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "log_every": 10,
         "plot_tr_cam_progress": False,
         "plot_tr_cam_progress_n": 4,      # frames in the progress grid
+        "alpha_visu": 100,    # CAM-overlay transparency, 0-255 image
+                              # weight (reference config.py:161; vestigial
+                              # upstream — no consumer — but wired to the
+                              # overlay blend here)
         "demo_video": False,
     }
     return cfg

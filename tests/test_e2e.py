@@ -447,3 +447,83 @@ def test_other_encoders_train_smoke(synth, encoder, tmp_path_factory):
     assert np.isfinite(m["loss"])
     res = tr.evaluate(0, "val")
     assert 0.0 <= res["localization"] <= 100.0
+
+
+def test_cub_style_image_dataset_train_and_eval(tmp_path_factory):
+    """Image-WSOL dataset family (CUB/ILSVRC): DS_FRAMES mode with box
+    metadata — flat image ids, no shots, boxes route evaluation to
+    MaxBoxAcc.  Exercises the reference's image-dataset path
+    (wsol_loader.get_dataset_mode -> frames) through Trainer + evaluator."""
+    from PIL import Image
+    from tcam_wsol_video_tpu.engine.trainer import Trainer
+    from tcam_wsol_video_tpu.models.factory import create_model_from_args
+
+    root = str(tmp_path_factory.mktemp("cub"))
+    data_root = os.path.join(root, "data")
+    rng = np.random.default_rng(0)
+
+    def build_split(split, n):
+        meta = os.path.join(root, "folds", split)
+        os.makedirs(meta, exist_ok=True)
+        ids, labels, locs, sizes = [], [], [], []
+        for i in range(n):
+            lab = i % 2
+            sub = f"cls{lab}"
+            os.makedirs(os.path.join(data_root, sub), exist_ok=True)
+            img = (rng.random((48, 48, 3)) * 60).astype(np.uint8)
+            if lab == 0:
+                img[8:28, 8:28] = (230, 40, 40)     # red block
+            else:
+                img[20:40, 20:40] = (40, 40, 230)   # blue block
+            iid = f"{sub}/{split}_im{i}.jpg"
+            Image.fromarray(img).save(os.path.join(data_root, iid))
+            ids.append(iid)
+            labels.append(f"{iid},{lab}")
+            box = (8, 8, 28, 28) if lab == 0 else (20, 20, 40, 40)
+            locs.append(f"{iid},{','.join(map(str, box))}")
+            sizes.append(f"{iid},48,48")
+        for name, rows in (("image_ids.txt", ids),
+                           ("class_labels.txt", labels),
+                           ("localization.txt",
+                            locs if split != "train" else []),
+                           ("image_sizes.txt", sizes)):
+            with open(os.path.join(meta, name), "w") as f:
+                f.write("\n".join(rows) + ("\n" if rows else ""))
+
+    build_split("train", 8)
+    build_split("val", 6)
+    build_split("test", 6)
+
+    cfg = get_config(C.CUB)
+    cfg.update(task=C.STD_CL, crop_size=32, resize_size=40, batch_size=4,
+               eval_batch_size=8, max_epochs=2, num_workers=1,
+               compute_dtype="float32", cam_curve_interval=0.05,
+               checkpoint_save=0, mesh_dp=1, log_every=0, fast_eval=False,
+               lr=0.05, num_classes=2,
+               outd=str(tmp_path_factory.mktemp("exps_cub")), exp_id="cub")
+    args = finalize(HParams(cfg))
+    kc = KeyChain(0)
+
+    md_tr = load_split_metadata(os.path.join(root, "folds"), "train")
+    ds_tr = WSOLVideoDataset(md_tr, data_root, "train", C.CUB,
+                             PairedTransform(40, 32, train=True), kc,
+                             crop_size=32)
+    assert ds_tr.mode == C.DS_FRAMES
+    pipe_tr = DataPipeline(ds_tr, 4, kc, num_workers=1)
+    eval_pipes = {}
+    for split in ("val", "test"):
+        md = load_split_metadata(os.path.join(root, "folds"), split)
+        ds = WSOLVideoDataset(md, data_root, split, C.CUB,
+                              PairedTransform(40, 32, train=False), kc,
+                              crop_size=32)
+        eval_pipes[split] = (ds, DataPipeline(ds, 8, kc, shuffle=False,
+                                              num_workers=1))
+
+    model = create_model_from_args(args)
+    trainer = Trainer(args, model, pipe_tr, eval_pipes, keychain=kc)
+    for ep in range(2):
+        m = trainer.train_epoch(ep)
+        assert np.isfinite(m["loss"])
+    res = trainer.evaluate(1, "val")
+    assert 0.0 <= res["localization"] <= 100.0
+    assert res["n_images"] == 6
