@@ -181,7 +181,7 @@ def _kmat_batched(a: jax.Array, b: jax.Array) -> jax.Array:
 def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
                                     idx: jax.Array,
                                     ridge: float = 1e-2,
-                                    group: int = 8,
+                                    group: Optional[int] = None,
                                     knm_dtype=jnp.float32) -> jax.Array:
     """AS ~= K_nm (K_mm + ridge I)^-1 K_mn vals — batched Nystrom filter.
 
@@ -201,7 +201,10 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
     Images are processed `group` at a time (lax.map over groups, batched
     math inside): per-image sequential dispatch serializes the Cholesky
     and small matmuls (~18 ms/img), batching brings it to ~3.6 ms/img at
-    224^2/M=1024, while the (group, P, M) kernel block stays ~1.6 GB.
+    224^2/M=1024.  group=None resolves to min(B, 32): one map-free
+    batched call for recipe batches (measured ~5 ms faster per bs32
+    train step than group=8 — lax.map iterations cannot overlap), with
+    the (group, P, M) kernel block bounded at ~6.6 GB transient.
 
     `knm_dtype` stores the (G, P, M) K_nm block at reduced width for
     its two consumers (K_mn v, K_nm alpha).  Measured on chip this does
@@ -215,6 +218,8 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
     from jax.scipy.linalg import cho_factor, cho_solve
     b, p, k = vals.shape
     m = idx.shape[0]
+    if group is None:
+        group = min(b, 32)
     ng = -(-b // group)
     pad = ng * group - b
     # zero-pad the batch: padded images have constant features, their
