@@ -36,42 +36,68 @@ Array = jax.Array
 _BISECT_ITERS = 10  # boundary resolution: 2^-10 of the value range
 
 
-def _top_fraction_mask(v: Array, n: Array, largest: bool) -> Array:
-    """Eligibility mask ~= "among the n largest (smallest) values of v".
-
-    Bisection on the value range with full-vector counts — O(P) per
-    iteration, no sort, no scatter (both are serialized on TPU; the
-    reference-style batched argsorts alone cost 915 of a 1489 ms train
-    step at 224^2 on v5e, and a scatter-add histogram was no better).
-    The boundary lands within 2^-10 of the range, so the eligible pool
-    can differ from exactly-n by boundary ties — immaterial for seed
-    sampling.
+def _top_fraction_mask_rows(v: Array, n: Array) -> Array:
+    """Row-wise eligibility masks ~= "among the n[r] LARGEST values of
+    v[r]" for v: (R, P), n: (R,).  One bisection loop serves every row
+    (sequential depth does not grow with R) — O(R * P) per iteration, no
+    sort, no scatter (both are serialized on TPU; the reference-style
+    batched argsorts alone cost 915 of a 1489 ms train step at 224^2 on
+    v5e, and a scatter-add histogram was no better).  The boundary lands
+    within 2^-10 of the range, so the eligible pool can differ from
+    exactly-n by boundary ties — immaterial for seed sampling.
+    Select the n smallest by passing -v.
     """
-    lo = jnp.min(v)
-    hi = jnp.max(v)
+    lo = jnp.min(v, axis=1)
+    hi = jnp.max(v, axis=1)
 
     def body(_, bounds):
         lo_b, hi_b = bounds
         mid = 0.5 * (lo_b + hi_b)
-        count = jnp.sum(v >= mid) if largest else jnp.sum(v <= mid)
+        count = jnp.sum(v >= mid[:, None], axis=1)
         keep = count >= n  # mid still keeps enough elements
-        if largest:
-            # invariant: count(v >= lo_b) >= n; move lo_b up while it holds
-            lo_b = jnp.where(keep, mid, lo_b)
-            hi_b = jnp.where(keep, hi_b, mid)
-        else:
-            # invariant: count(v <= hi_b) >= n; move hi_b down while it holds
-            hi_b = jnp.where(keep, mid, hi_b)
-            lo_b = jnp.where(keep, lo_b, mid)
+        # invariant: count(v >= lo_b) >= n; move lo_b up while it holds
+        lo_b = jnp.where(keep, mid, lo_b)
+        hi_b = jnp.where(keep, hi_b, mid)
         return lo_b, hi_b
 
-    lo_b, hi_b = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
-    # the invariant side guarantees at least ~n eligible
-    return (v >= lo_b) if largest else (v <= hi_b)
+    lo_b, _ = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
+    # the invariant side guarantees at least ~n eligible per row
+    return v >= lo_b[:, None]
+
+
+def _top_fraction_mask(v: Array, n: Array, largest: bool) -> Array:
+    """Eligibility mask ~= "among the n largest (smallest) values of v"
+    (single-vector convenience wrapper over _top_fraction_mask_rows)."""
+    vv = (v if largest else -v)[None]
+    return _top_fraction_mask_rows(vv, jnp.reshape(jnp.asarray(n), (1,)))[0]
 
 
 _BISECT_TOPK_THRESHOLD = 32  # k above this: bisection beats argmax rounds
 _BISECT_TOPK_ITERS = 24      # boundary within 2^-24 of the key range
+
+
+def _gumbel_topk_bisect_rows(keys_: Array, eligible: Array,
+                             k: Array) -> Array:
+    """Row-wise bisection top-k over perturbed keys: keys_ (R, P) with
+    -inf at ineligible slots, eligible (R, P), k (R,) traced counts.
+    One loop serves every row (fg and bg selections share the sequential
+    depth).  Returns (R, P) int32 masks."""
+    n_elig = jnp.sum(eligible, axis=1)
+    n = jnp.minimum(k, n_elig)
+    lo = jnp.min(jnp.where(eligible, keys_, jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(eligible, keys_, -jnp.inf), axis=1)
+
+    def body(_, bounds):
+        lo_b, hi_b = bounds
+        mid = 0.5 * (lo_b + hi_b)
+        keep = jnp.sum(keys_ >= mid[:, None], axis=1) >= n
+        lo_b = jnp.where(keep, mid, lo_b)
+        hi_b = jnp.where(keep, hi_b, mid)
+        return lo_b, hi_b
+
+    lo_b, _ = jax.lax.fori_loop(0, _BISECT_TOPK_ITERS, body, (lo, hi))
+    mask = (keys_ >= lo_b[:, None]) & eligible & (n > 0)[:, None]
+    return mask.astype(jnp.int32)
 
 
 def _gumbel_topk_mask(key: jax.Array, logw: Array, eligible: Array,
@@ -94,22 +120,8 @@ def _gumbel_topk_mask(key: jax.Array, logw: Array, eligible: Array,
     keys_ = jnp.where(eligible, logw + g, -jnp.inf)
 
     if k > _BISECT_TOPK_THRESHOLD:
-        n_elig = jnp.sum(eligible)
-        n = jnp.minimum(k, n_elig)
-        lo = jnp.min(jnp.where(eligible, keys_, jnp.inf))
-        hi = jnp.max(jnp.where(eligible, keys_, -jnp.inf))
-
-        def body(_, bounds):
-            lo_b, hi_b = bounds
-            mid = 0.5 * (lo_b + hi_b)
-            keep = jnp.sum(keys_ >= mid) >= n
-            lo_b = jnp.where(keep, mid, lo_b)
-            hi_b = jnp.where(keep, hi_b, mid)
-            return lo_b, hi_b
-
-        lo_b, _ = jax.lax.fori_loop(0, _BISECT_TOPK_ITERS, body, (lo, hi))
-        mask = (keys_ >= lo_b) & eligible & (n > 0)
-        return mask.astype(jnp.int32)
+        return _gumbel_topk_bisect_rows(
+            keys_[None], eligible[None], jnp.asarray([k], jnp.int32))[0]
 
     iota = jax.lax.iota(jnp.int32, keys_.shape[0])
 
@@ -162,20 +174,41 @@ def _seed_one(key: jax.Array, cam: Array, roi: Optional[Array],
         cam_fg = (cam + 1e-8).reshape(p)
         n_fg = jnp.int32(int(cfg.max_p * p))
 
-    fg_elig = _top_fraction_mask(cam_fg, n_fg, largest=True) & (n_fg > 0)
+    # ---- background pool: bottom min_p fraction of the full cam
+    cam_bg = (cam + 1e-8).reshape(p)
+    n_bg = jnp.int32(int(cfg.min_p * p))
+
+    # fg and bg selections are independent: run both through ONE
+    # row-batched bisection (top of -cam_bg = bottom of cam_bg), halving
+    # the sequential depth of the pool + top-k loops
+    elig2 = _top_fraction_mask_rows(
+        jnp.stack([cam_fg, -cam_bg]),
+        jnp.stack([n_fg, n_bg]).astype(jnp.int32))
+    fg_elig = elig2[0] & (n_fg > 0)
+    bg_elig = elig2[1] & (n_bg > 0)
+
     if seed_tech == constants.SEED_UNIFORM:
         logw_fg = jnp.zeros_like(cam_fg)
     else:  # SEED_WEIGHTED: probs proportional to cam values (_SFG :517-520)
         logw_fg = jnp.log(jnp.maximum(cam_fg, 1e-20))
-    fg = _gumbel_topk_mask(kf, logw_fg, fg_elig, max(int(cfg.max_), 1))
-    fg = jnp.where(cfg.max_ > 0, fg, 0)
 
-    # ---- background: bottom min_p fraction of the full cam, uniform
-    cam_bg = (cam + 1e-8).reshape(p)
-    n_bg = jnp.int32(int(cfg.min_p * p))
-    bg_elig = _top_fraction_mask(cam_bg, n_bg, largest=False) & (n_bg > 0)
-    bg = _gumbel_topk_mask(kb, jnp.zeros_like(cam_bg), bg_elig,
-                           max(int(cfg.min_), 1))
+    k_fg = max(int(cfg.max_), 1)
+    k_bg = max(int(cfg.min_), 1)
+    if max(k_fg, k_bg) > _BISECT_TOPK_THRESHOLD:
+        # same Gumbel streams as the separate calls (kf / kb draws)
+        keys2 = jnp.stack([
+            jnp.where(fg_elig, logw_fg + jax.random.gumbel(
+                kf, (p,), dtype=jnp.float32), -jnp.inf),
+            jnp.where(bg_elig, jax.random.gumbel(
+                kb, (p,), dtype=jnp.float32), -jnp.inf)])
+        sel = _gumbel_topk_bisect_rows(
+            keys2, jnp.stack([fg_elig, bg_elig]),
+            jnp.asarray([k_fg, k_bg], jnp.int32))
+        fg, bg = sel[0], sel[1]
+    else:
+        fg = _gumbel_topk_mask(kf, logw_fg, fg_elig, k_fg)
+        bg = _gumbel_topk_mask(kb, jnp.zeros_like(cam_bg), bg_elig, k_bg)
+    fg = jnp.where(cfg.max_ > 0, fg, 0)
     bg = jnp.where(cfg.min_ > 0, bg, 0)
 
     fg = fg.reshape(h, w)
