@@ -113,3 +113,23 @@ def test_lr_schedules():
     assert g(0) == pytest.approx(0.01)
     assert g(10) == pytest.approx(1e-5)
     assert 1e-5 < g(5) < 0.01
+
+
+def test_eval_cli_missing_exp_dir_fails_fast(tmp_path):
+    """eval.py with a nonexistent --exp_dir must die on the 'no best
+    model' assert (before any model init / XLA compile), not a
+    stack-less crash (reference eval.py is broken upstream; ours is a
+    supported surface)."""
+    import pytest
+    from tcam_wsol_video_tpu.data.synthetic import make_synthetic_dataset
+    from tcam_wsol_video_tpu.cli import evaluate
+
+    out = make_synthetic_dataset(str(tmp_path))
+    argv = ["--exp_dir", str(tmp_path / "nonexistent"),
+            "--split", "test",
+            "--dataset", "YouTube-Objects-v1.0", "--task", "STD_CL",
+            "--data_root", str(tmp_path),
+            "--metadata_root", out["metadata_root"],
+            "--crop_size", "32", "--resize_size", "40"]
+    with pytest.raises(AssertionError, match="no best model"):
+        evaluate.main(argv)
