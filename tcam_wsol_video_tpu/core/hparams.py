@@ -166,7 +166,11 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "step_size": 5,
         "gamma": 0.1,
         "min_lr": 1e-7,
-        "t_max": 50,                    # cosine
+        "t_max": 50,                    # "cosine" (CosineAnnealingLR form)
+        "lr_coef": 0.5,                 # "mycosine" coefficient (no
+                                        # upstream default; 0.5 = the
+                                        # reference demo value)
+        "lr_milestones": [30, 60],      # "multistep" epochs
         "lr_classifier_ratio": 10.0,    # per-group LR on the cls head
 
         # ------------------------------------------------------------ ELB
