@@ -42,6 +42,11 @@ def main(argv=None):
     boot.add_argument("--tau", type=float, default=0.5)
     boot.add_argument("--max_videos", type=int, default=4)
     boot.add_argument("--fps", type=int, default=8)
+    boot.add_argument("--reuse_threshold", type=float, default=0.0,
+                      help="change-based inference: skip the model for "
+                           "frames whose mean |delta| vs the last "
+                           "computed frame of the video is below this "
+                           "(pixel units in [0,255]; 0 = off)")
     ns, rest = boot.parse_known_args(argv)
     args = parse_args(rest)
     init_logger(ns.exp_dir, is_master=True)
@@ -71,17 +76,39 @@ def main(argv=None):
     bstats = variables.get("batch_stats", {})
 
     # group frames by video (class/data/<video>)
+    from tcam_wsol_video_tpu.engine.temporal_reuse import FrameReusePlanner
+    planner = FrameReusePlanner(ns.reuse_threshold)
     frames_by_video = collections.defaultdict(list)
     key = kc.key("demo")
     for batch in pipe.epoch(0):
-        cams, logits = eval_step(params, bstats,
-                                 jnp.asarray(batch["image"]),
-                                 jnp.asarray(batch["label"]), key)
-        cams_np = np.asarray(cams)
+        vids = ["/".join(iid.split("/")[:3])
+                for iid in batch["image_id"]]
+        compute_rows, reuse_from = planner.plan(vids, batch["raw_img"])
+        n = len(vids)
+        cams_np = np.zeros((n,) + np.asarray(batch["raw_img"]).shape[1:3],
+                           np.float32)
+        if compute_rows:
+            # compact changed frames, pad back to the compiled batch
+            # shape so the jitted step never re-traces
+            imgs = np.asarray(batch["image"])
+            sel = np.zeros_like(imgs)
+            sel[:len(compute_rows)] = imgs[compute_rows]
+            labels = np.zeros_like(np.asarray(batch["label"]))
+            labels[:len(compute_rows)] = np.asarray(
+                batch["label"])[compute_rows]
+            cams, _ = eval_step(params, bstats, jnp.asarray(sel),
+                                jnp.asarray(labels), key)
+            sub = np.asarray(cams)
+            for j, row in enumerate(compute_rows):
+                cams_np[row] = sub[j]
+                planner.store_cam(vids[row], sub[j])
+        for i, src in enumerate(reuse_from):
+            if src is not None:
+                cams_np[i] = planner.cam_for(src)
         for i, iid in enumerate(batch["image_id"]):
             if not batch["valid"][i]:
                 continue
-            vid = "/".join(iid.split("/")[:3])
+            vid = vids[i]
             if (len(frames_by_video) >= ns.max_videos
                     and vid not in frames_by_video):
                 continue
@@ -94,6 +121,11 @@ def main(argv=None):
             frame = wsol_viz.draw_boxes(frame, pred_boxes[0],
                                         wsol_viz.PRED_COLOR)
             frames_by_video[vid].append((iid, frame))
+
+    if ns.reuse_threshold > 0.0:
+        log(f"change-based inference: {planner.n_computed} computed, "
+            f"{planner.n_reused} reused "
+            f"({100.0 * planner.reuse_fraction:.1f}% model calls saved)")
 
     os.makedirs(ns.out, exist_ok=True)
     written = []
