@@ -285,7 +285,8 @@ class CamEvaluator:
             ordered_prediction_sheets(
                 self._visuals, evaluator.best_tau_list,
                 self.args.iou_threshold_list,
-                self.args.multi_contour_eval, self.visual_dump_dir)
+                self.args.multi_contour_eval, self.visual_dump_dir,
+                alpha=getattr(self.args, "alpha_visu", 153) / 255.0)
 
         # aggregate localization score (reference train_wsol.py:1515-1522)
         accs_only = [out[f"maxboxacc_{s}"]

@@ -45,10 +45,11 @@ def draw_boxes(img: np.ndarray, boxes: Sequence[Sequence[float]],
 
 def plot_single(raw_img: np.ndarray, cam: Optional[np.ndarray],
                 gt_boxes: Sequence, pred_boxes: Sequence,
-                path: str, tags: Optional[Dict] = None) -> None:
+                path: str, tags: Optional[Dict] = None,
+                alpha: float = 0.6) -> None:
     """One prediction figure: overlay + boxes + tag line."""
     img = np.clip(raw_img, 0, 255).astype(np.uint8)
-    vis = cam_overlay(img, cam) if cam is not None else img
+    vis = cam_overlay(img, cam, alpha=alpha) if cam is not None else img
     vis = draw_boxes(vis, gt_boxes, GT_COLOR)
     vis = draw_boxes(vis, pred_boxes, PRED_COLOR)
     fig, ax = plt.subplots(figsize=(4, 4))
@@ -64,7 +65,7 @@ def plot_single(raw_img: np.ndarray, cam: Optional[np.ndarray],
 
 def plot_multiple(raw_img: np.ndarray, cam: np.ndarray,
                   gt_boxes: Sequence, entries: List[Dict],
-                  path: str) -> None:
+                  path: str, alpha: float = 0.6) -> None:
     """Multi-panel figure (reference Viz_WSOL.plot_multiple,
     vision_wsol.py:342-365): one column per entry, row 0 = heatmap
     overlay with GT/pred boxes, row 1 = the binarized mask at that
@@ -77,7 +78,7 @@ def plot_multiple(raw_img: np.ndarray, cam: np.ndarray,
     n = max(1, len(entries))
     fig, axes = plt.subplots(2, n, figsize=(3 * n, 6), squeeze=False)
     for i, e in enumerate(entries):
-        vis = cam_overlay(img, cam)
+        vis = cam_overlay(img, cam, alpha=alpha)
         vis = draw_boxes(vis, gt_boxes, GT_COLOR)
         vis = draw_boxes(vis, e.get("pred_boxes", []), PRED_COLOR)
         axes[0, i].imshow(vis)
@@ -102,7 +103,9 @@ def ordered_prediction_sheets(visuals: List[tuple],
                               best_tau_list: Sequence[float],
                               iou_threshold_list: Sequence[int],
                               multi_contour: bool,
-                              out_dir: str) -> Dict[int, List[tuple]]:
+                              out_dir: str,
+                              alpha: float = 0.6
+                              ) -> Dict[int, List[tuple]]:
     """Per-IoU ordered best->worst prediction dumps + per-image
     multi-panel sheets (reference _draw_some_best_pred,
     inference_wsol.py:700-1071: per-sigma folders of overlays renamed by
@@ -155,7 +158,8 @@ def ordered_prediction_sheets(visuals: List[tuple],
                             f"{iid.replace('/', '_')}.png"),
                         tags={"iou": round(iou, 3),
                               "tau": round(best_tau_list[k], 3),
-                              "sigma": sigma})
+                              "sigma": sigma},
+                        alpha=alpha)
 
     # per-image multi-panel sheet across the per-IoU best taus
     # (the reference's 'some_taux' family)
@@ -166,7 +170,8 @@ def ordered_prediction_sheets(visuals: List[tuple],
                    for k, s in enumerate(iou_threshold_list)]
         plot_multiple(raw, cam, gt, entries,
                       os.path.join(sheet_dir,
-                                   iid.replace("/", "_") + ".png"))
+                                   iid.replace("/", "_") + ".png"),
+                      alpha=alpha)
     return ordered
 
 
