@@ -336,3 +336,22 @@ def test_score_cam_family_tiny(rng):
                                num_samples=2, batch_chunk=32))
     for o in (out2, out3):
         assert o.shape == (b, 5, 5) and np.isfinite(o).all()
+
+
+def test_gumbel_topk_bisect_rows_mixed_counts(rng):
+    """Row-batched bisection top-k: per-row k, an empty row, and a
+    k >= eligible row all behave in ONE fused loop."""
+    from tcam_wsol_video_tpu.cams.seeding import _gumbel_topk_bisect_rows
+
+    p = 5000
+    keys = jnp.asarray(rng.standard_normal((3, p)).astype(np.float32))
+    elig = jnp.stack([jnp.ones(p, bool),
+                      jnp.zeros(p, bool),                 # empty row
+                      jnp.asarray(np.arange(p) < 50)])    # 50 eligible
+    keys = jnp.where(elig, keys, -jnp.inf)
+    k = jnp.asarray([500, 100, 100], jnp.int32)
+    m = np.asarray(_gumbel_topk_bisect_rows(keys, elig, k))
+    assert abs(int(m[0].sum()) - 500) <= 1
+    assert int(m[1].sum()) == 0
+    assert int(m[2].sum()) == 50
+    assert not m[2][50:].any()
