@@ -327,8 +327,12 @@ def _cbox_seed_one(key: jax.Array, cam: Array, cfg: CBoxSeederCfg) -> Array:
     cam_ = jnp.floor(cam * 255.0)
     th = otsu_threshold_255(cam_)
     # reference fallbacks (_CBOXOneSample :161-171): degenerate histogram
-    # -> median; clamp the threshold into (0, 255)
-    th = jnp.where(jnp.max(cam_) == jnp.min(cam_), jnp.median(cam_), th)
+    # -> torch.median(cam * 255) on the UNFLOORED values; torch.median
+    # returns the lower of the two middle elements, hence the sorted
+    # index rather than jnp.median's midpoint average.  Clamp into
+    # (0, 255).
+    med = jnp.sort(cam.reshape(p) * 255.0)[(p - 1) // 2]
+    th = jnp.where(jnp.max(cam_) == jnp.min(cam_), med, th)
     th = jnp.where(th == 0.0, 1.0, th)
     th = jnp.where(th >= 255.0, 254.0, th)
     roi = (cam_ > th).astype(jnp.float32)          # strict > per reference

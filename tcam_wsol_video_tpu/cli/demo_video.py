@@ -87,6 +87,7 @@ def main(argv=None):
         n = len(vids)
         cams_np = np.zeros((n,) + np.asarray(batch["raw_img"]).shape[1:3],
                            np.float32)
+        sub = None
         if compute_rows:
             # compact changed frames, pad back to the compiled batch
             # shape so the jitted step never re-traces
@@ -99,12 +100,7 @@ def main(argv=None):
             cams, _ = eval_step(params, bstats, jnp.asarray(sel),
                                 jnp.asarray(labels), key)
             sub = np.asarray(cams)
-            for j, row in enumerate(compute_rows):
-                cams_np[row] = sub[j]
-                planner.store_cam(vids[row], sub[j])
-        for i, src in enumerate(reuse_from):
-            if src is not None:
-                cams_np[i] = planner.cam_for(src)
+        planner.resolve_rows(vids, compute_rows, reuse_from, sub, cams_np)
         for i, iid in enumerate(batch["image_id"]):
             if not batch["valid"][i]:
                 continue

@@ -263,11 +263,20 @@ def parse_ytbb_detection_csv(csv_path: str) -> List[YtbbRow]:
             if not line:
                 continue
             p = line.split(",")
-            rows.append(YtbbRow(
-                youtube_id=p[0], timestamp_ms=int(p[1]), class_name=p[3],
-                object_id=p[4],
-                present=p[5].strip().strip('"') == "present",
-                box=(float(p[6]), float(p[7]), float(p[8]), float(p[9]))))
+            # skip header lines / short rows; surface malformed data rows
+            # with the offending line for debuggability
+            if len(p) < 10 or not p[1].strip().lstrip("-").isdigit():
+                continue
+            try:
+                rows.append(YtbbRow(
+                    youtube_id=p[0], timestamp_ms=int(p[1]),
+                    class_name=p[3], object_id=p[4],
+                    present=p[5].strip().strip('"') == "present",
+                    box=(float(p[6]), float(p[7]),
+                         float(p[8]), float(p[9]))))
+            except ValueError as e:
+                raise ValueError(
+                    f"malformed YT-BB row in {csv_path}: {line!r}") from e
     return rows
 
 

@@ -36,11 +36,13 @@ Array = jax.Array
 
 def _init_boxes(key: jax.Array, n: int, h: int, w: int, minsz: Array,
                 size_mean: float, size_var: float) -> tuple:
-    """Centered fallback boxes of area fraction s ~ N(size_mean, size_var)
-    clamped to [minsz, 0.99] (reference _gen_rand_init_box,
-    train_wsol.py:521-541).  minsz: (n,) per-sample minimum (per-class
-    size prior or the constant flag)."""
-    s = size_mean + jnp.sqrt(size_var) * jax.random.normal(key, (n,))
+    """Centered fallback boxes of area fraction
+    s ~ N(size_mean, scale=size_var) clamped to [minsz, 0.99] (reference
+    _gen_rand_init_box, train_wsol.py:521-541 — note the reference passes
+    cb_init_box_var directly as np.random.normal's scale, i.e. it is a
+    std despite the name; we match that).  minsz: (n,) per-sample minimum
+    (per-class size prior or the constant flag)."""
+    s = size_mean + size_var * jax.random.normal(key, (n,))
     s = jnp.clip(s, minsz, 0.99)
     half = jnp.sqrt(s) / 2.0
     x_hat = jnp.stack([jnp.maximum(h / 2.0 - h * half, 0.0),

@@ -71,3 +71,20 @@ class FrameReusePlanner:
     def reuse_fraction(self) -> float:
         total = self.n_computed + self.n_reused
         return self.n_reused / total if total else 0.0
+
+    def resolve_rows(self, video_ids: List[str],
+                     compute_rows: List[int],
+                     reuse_from: List[Optional[str]],
+                     computed_cams: Optional[np.ndarray],
+                     out: np.ndarray) -> None:
+        """Fill `out[i]` for every row of one planned batch, walking rows
+        IN ORDER so a reuse row chains off the last computed frame of its
+        video *before* it — never a later computed frame of the same
+        batch.  computed_cams[j] is the CAM of compute_rows[j]."""
+        row_to_j = {row: j for j, row in enumerate(compute_rows)}
+        for i, src in enumerate(reuse_from):
+            if src is not None:
+                out[i] = self.cam_for(src)
+            else:
+                out[i] = computed_cams[row_to_j[i]]
+                self.store_cam(video_ids[i], out[i])

@@ -28,6 +28,29 @@ def test_planner_reuses_static_frames_and_chains_per_video():
     assert compute2 == [] and reuse2 == ["a"]
 
 
+def test_resolve_rows_reuse_precedes_computed_same_video():
+    """A reuse row that comes BEFORE a computed (changed) frame of the
+    same video in one batch must get the prior batch's CAM, not the
+    future computed frame's (advisor round-2 finding)."""
+    p = FrameReusePlanner(threshold=2.0)
+    # batch 1: video a frame computed -> CAM 1
+    compute, reuse = p.plan(["a"], np.stack([_raw(10)]))
+    out = np.zeros((1, 4, 4), np.float32)
+    p.resolve_rows(["a"], compute, reuse,
+                   np.ones((1, 4, 4), np.float32), out)
+    # batch 2: [a_static, a_changed] -> row0 reuses, row1 computed CAM 2
+    vids = ["a", "a"]
+    compute2, reuse2 = p.plan(vids, np.stack([_raw(10.2), _raw(90)]))
+    assert compute2 == [1] and reuse2 == ["a", None]
+    out2 = np.zeros((2, 4, 4), np.float32)
+    p.resolve_rows(vids, compute2, reuse2,
+                   np.full((1, 4, 4), 2.0, np.float32), out2)
+    assert np.all(out2[0] == 1.0)   # prior CAM, not the future row's
+    assert np.all(out2[1] == 2.0)
+    # and the cached CAM for `a` is now the newly computed one
+    assert np.all(p.cam_for("a") == 2.0)
+
+
 def test_planner_threshold_zero_disables_reuse():
     p = FrameReusePlanner(threshold=0.0)
     raws = np.stack([_raw(5), _raw(5)])
