@@ -37,7 +37,8 @@ REFERENCE_V100_TRAIN_FRAMES_PER_SEC = 55.0
 
 def bench_train_step(crf_scale: float = 1.0,
                      crf_lambda: float = 2e-9,
-                     crf_impl: str = "exact") -> dict:
+                     crf_impl: str = "exact",
+                     n_landmarks: int = 1024) -> dict:
     """Full TCAM stage-2 train step (sl + CRF + size losses).
 
     crf_impl="landmarks" is the flagship TPU recipe: Nystrom landmark
@@ -74,6 +75,7 @@ def bench_train_step(crf_scale: float = 1.0,
                sl_tc_use_roi=True, sl_tc_seed_tech=constants.SEED_WEIGHTED,
                crf_tc=True, crf_tc_lambda=crf_lambda,
                crf_tc_scale=crf_scale, crf_impl=crf_impl,
+               crf_n_landmarks=n_landmarks,
                max_sizepos_tc=True, max_sizepos_tc_lambda=0.01)
     args = finalize(HParams(cfg))
 
@@ -131,8 +133,21 @@ def bench_train_step(crf_scale: float = 1.0,
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
-    tag = "lmk-CRF@scale1.0" if crf_impl == "landmarks" \
+    tag = f"lmk{n_landmarks}-CRF@scale1.0" if crf_impl == "landmarks" \
         else f"CRF@scale{crf_scale}"
+
+    # MFU: analytic dot/conv FLOPs of ONE step (jaxpr walk — XLA's
+    # cost_analysis undercounts on this backend, tools/flops.py) over
+    # measured step time and the chip's published bf16 peak
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from flops import matmul_conv_flops, peak_bf16_flops
+    step_flops = matmul_conv_flops(
+        train_step, state, batch_d, switches, jax.random.PRNGKey(2), seed_w)
+    mfu = step_flops / (dt / iters) / peak_bf16_flops()
+
     return {
         "metric": "TCAM(ResNet-50+UnetTCAM) train frames/sec/chip "
                   f"(sl+{tag}+sizes) @{crop}px bs{batch}",
@@ -140,6 +155,8 @@ def bench_train_step(crf_scale: float = 1.0,
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / REFERENCE_V100_TRAIN_FRAMES_PER_SEC, 3),
         "ms_per_step": round(1000.0 * dt / iters, 1),
+        "tflops_per_step": round(step_flops / 1e12, 3),
+        "mfu": round(mfu, 4),
     }
 
 
@@ -214,12 +231,20 @@ def main() -> None:
         # (grad cosine 1.000000 vs exact — PARITY.md 'CRF landmarks')
         train_lmk = bench_train_step(crf_impl="landmarks")
         print(json.dumps(train_lmk))
+        # M=512 variant: grad cosine still 1.0000 (AS relerr 1.6e-3,
+        # PARITY.md round-3 table) at ~17% higher step rate
+        train_lmk512 = bench_train_step(crf_impl="landmarks",
+                                        n_landmarks=512)
+        print(json.dumps(train_lmk512))
         # earlier validated downscale recipe: CRF at scale 0.5, lambda x16
         # (grad cosine .978, identical final MaxBoxAcc — PARITY.md)
         train_05 = bench_train_step(crf_scale=0.5, crf_lambda=3.2e-8)
         print(json.dumps(train_05))
         extra = {"train_lmk_frames_per_sec_chip": train_lmk["value"],
                  "train_lmk_ms_per_step": train_lmk["ms_per_step"],
+                 "train_lmk_mfu": train_lmk["mfu"],
+                 "train_lmk512_frames_per_sec_chip": train_lmk512["value"],
+                 "train_lmk512_ms_per_step": train_lmk512["ms_per_step"],
                  "train_scale05_frames_per_sec_chip": train_05["value"],
                  "train_scale05_ms_per_step": train_05["ms_per_step"]}
     print(json.dumps({

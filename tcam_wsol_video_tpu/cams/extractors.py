@@ -77,8 +77,10 @@ def builtin_cam(cams_head: Array, class_idx: Array,
     class_idx (+1 with background support) — reference
     builtincam.py:26-138."""
     idx = class_idx + (1 if support_background else 0)
-    cam = jnp.take_along_axis(
-        cams_head, idx[:, None, None, None], axis=-1)[..., 0]
+    # one-hot contraction over the class axis: a minor-axis gather
+    # serializes on TPU; this is one small VPU/MXU contraction
+    oh = jax.nn.one_hot(idx, cams_head.shape[-1], dtype=cams_head.dtype)
+    cam = jnp.einsum("bhwk,bk->bhw", cams_head, oh)
     return _finalize(cam, relu=True, normalized=normalized)
 
 

@@ -122,15 +122,22 @@ def make_train_step(model, master_loss: MasterLoss, optimizer, args,
         if needs_seeds:
             cams_inter = batch["std_cam"]
             roi = batch["roi"] if args.sl_tc_use_roi else None
-            # seed technique is a schedule output; trace both and select
-            s_uni = tcam_seeder(k_seed, cams_inter, seeder_cfg, roi=roi,
-                                seed_tech=constants.SEED_UNIFORM)
+            # seed technique is a schedule output; both branches are
+            # traced but lax.cond executes only the active one at
+            # runtime (jnp.where would compute BOTH seeders every step —
+            # measured ~12 ms/step at recipe scale)
             if args.sl_tc_seed_tech == constants.SEED_WEIGHTED:
-                s_wgt = tcam_seeder(k_seed, cams_inter, seeder_cfg, roi=roi,
-                                    seed_tech=constants.SEED_WEIGHTED)
-                seeds = jnp.where(seed_weighted.astype(bool), s_wgt, s_uni)
+                seeds = jax.lax.cond(
+                    seed_weighted.astype(bool),
+                    lambda: tcam_seeder(k_seed, cams_inter, seeder_cfg,
+                                        roi=roi,
+                                        seed_tech=constants.SEED_WEIGHTED),
+                    lambda: tcam_seeder(k_seed, cams_inter, seeder_cfg,
+                                        roi=roi,
+                                        seed_tech=constants.SEED_UNIFORM))
             else:
-                seeds = s_uni
+                seeds = tcam_seeder(k_seed, cams_inter, seeder_cfg, roi=roi,
+                                    seed_tech=constants.SEED_UNIFORM)
 
         def loss_fn(params):
             out, new_bs = _apply_model(model, params, state.batch_stats,

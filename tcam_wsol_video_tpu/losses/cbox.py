@@ -80,7 +80,10 @@ class SeedCbox(ElementaryLoss):
             (inputs.valid.reshape(-1, 1, 1) > 0)
         tgt = jnp.where(seeds != self.seg_ignore_idx, seeds, 0)
         logp = jax.nn.log_softmax(seg.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        # one-hot contraction: minor-axis gathers serialize on TPU
+        # (see losses/fcam.cross_entropy_ignore)
+        oh = jax.nn.one_hot(tgt, logp.shape[-1], dtype=logp.dtype)
+        nll = -jnp.sum(logp * oh, axis=-1)
         nll = jnp.where(valid_px, nll, 0.0)
         return self.lambda_ * jnp.sum(nll) / jnp.maximum(
             jnp.sum(valid_px), 1)

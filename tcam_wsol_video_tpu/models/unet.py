@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from tcam_wsol_video_tpu.models.poolings import build_pooling_head
-from tcam_wsol_video_tpu.ops.interpolate import resize_bilinear, resize_nearest
+from tcam_wsol_video_tpu.ops.interpolate import (
+    resize_bilinear, resize_nearest, resize_nearest_then_bilinear)
 
 Array = jax.Array
 
@@ -81,10 +82,16 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
         h, w = x.shape[1], x.shape[2]
-        x = resize_nearest(x, (2 * h, 2 * w))
+        if (skip is not None
+                and (2 * h, 2 * w) != tuple(skip.shape[1:3])):
+            # fused nearest-up + bilinear snap-to-skip: one separable op,
+            # no (B, 2h, 2w, C) intermediate (see resize_nearest_then_
+            # bilinear; numerically the reference's two-step resample)
+            x = resize_nearest_then_bilinear(
+                x, (2 * h, 2 * w), skip.shape[1:3], align_corners=True)
+        else:
+            x = resize_nearest(x, (2 * h, 2 * w))
         if skip is not None:
-            if x.shape[1:3] != skip.shape[1:3]:
-                x = resize_bilinear(x, skip.shape[1:3], align_corners=True)
             x = jnp.concatenate([x, skip], axis=-1)
             if self.attention == "scse":
                 x = SCSEModule(dtype=self.dtype, name="attention1")(x)

@@ -89,6 +89,31 @@ def resize_nearest(x: jax.Array, size) -> jax.Array:
     return _apply_separable(x, mh, mw)
 
 
+def resize_nearest_then_bilinear(x: jax.Array, mid, size,
+                                 align_corners: bool = True) -> jax.Array:
+    """Fused nearest(in->mid) then bilinear(mid->size) resize.
+
+    The U-Net decoder's snap path (reference decoder.py:14-45) nearest-
+    upsamples 2x and then bilinear-resizes down to the skip resolution —
+    at the stride-8 28x28 stages that materializes a (B, 56, 56, 2048)
+    intermediate just to come straight back down.  Both resizes are
+    separable linear maps, so their composition is one (out, in) matrix
+    per axis: same math (up to fp reassociation — the composition is
+    taken in fp64 numpy before casting), none of the 4x intermediate
+    HBM traffic.
+    """
+    mid_h, mid_w = int(mid[0]), int(mid[1])
+    h_out, w_out = int(size[0]), int(size[1])
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    mh = (_linear_matrix(mid_h, h_out, align_corners).astype(np.float64)
+          @ _nearest_matrix(h_in, mid_h).astype(np.float64)
+          ).astype(np.float32)
+    mw = (_linear_matrix(mid_w, w_out, align_corners).astype(np.float64)
+          @ _nearest_matrix(w_in, mid_w).astype(np.float64)
+          ).astype(np.float32)
+    return _apply_separable(x, mh, mw)
+
+
 def resize_hw(x: jax.Array, size, mode: str = "bilinear",
               align_corners: bool = False) -> jax.Array:
     """Resize a (..., H, W) map (no channel axis)."""
