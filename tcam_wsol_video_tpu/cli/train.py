@@ -166,6 +166,25 @@ def main(argv=None) -> Dict:
 
     trainer = Trainer(args, model, train_pipe, eval_pipes, keychain=kc,
                       init_variables=variables, classifier=classifier)
+
+    # ILSVRC bucket staging from the CLI (reference wires it inside the
+    # trainer at train_wsol.py:1081-1103; here it is shell templates with
+    # {bucket} substituted, run around each bucket by the Trainer loop)
+    if args.ds_chunkable and (args.bucket_stage_cmd
+                              or args.bucket_cleanup_cmd):
+        from tcam_wsol_video_tpu.data.ilsvrc_buckets import BucketStager
+
+        def _cmd(tmpl):
+            if not tmpl:
+                return None
+            return lambda b: ["bash", "-c", tmpl.format(bucket=b)]
+
+        trainer.bucket_stager = BucketStager(
+            stage_cmd=_cmd(args.bucket_stage_cmd),
+            cleanup_cmd=_cmd(args.bucket_cleanup_cmd))
+        log(f"bucket stager attached: stage={args.bucket_stage_cmd!r} "
+            f"cleanup={args.bucket_cleanup_cmd!r}")
+
     results = trainer.fit()
     log({"final": {k: {m: v for m, v in r.items()
                        if isinstance(v, (int, float))}

@@ -98,6 +98,11 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "nbr_chunks": (240 if dataset in constants.BUCKETED_DATASETS
                        else -1),
         "bucket_sz": 8,
+        # shell templates run around each bucket ({bucket} substituted):
+        # the CLI analogue of the reference's prepare_next_bucket /
+        # delete_train staging (ilsvrc_manager.py:296-416); "" = no-op
+        "bucket_stage_cmd": "",
+        "bucket_cleanup_cmd": "",
         "checkpoint_save": 100,         # steps between rolling checkpoints
         "keep_last_n_checkpoints": 1,
         "save_dir_models": "",

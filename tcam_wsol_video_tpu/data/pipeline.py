@@ -82,9 +82,12 @@ class DataPipeline:
         self.shard_index = shard_index
         self.drop_remainder = drop_remainder
 
-    def _epoch_indices(self, epoch: int,
-                       subset: Optional[np.ndarray] = None) -> np.ndarray:
-        """subset: optional dataset indices to restrict this epoch to
+    def _epoch_indices_valid(self, epoch: int,
+                             subset: Optional[np.ndarray] = None):
+        """Returns (idxs, valid): this shard's sample indices plus a mask
+        that is False on tail-duplicated entries.
+
+        subset: optional dataset indices to restrict this epoch to
         (the ILSVRC bucket loop iterates one bucket's subset at a
         time)."""
         order = (np.asarray(subset, np.int64) if subset is not None
@@ -94,10 +97,22 @@ class DataPipeline:
             rng = self.kc.numpy_rng("shuffle", self.ds.split, epoch)
             order = rng.permutation(order)
         # contiguous per-shard slice with tail padding (same contract as
-        # DistributedSampler: each shard sees ceil(n/shards) samples)
+        # DistributedSampler: each shard sees ceil(n/shards) samples).
+        # For eval (shuffle=False) the duplicates are flagged invalid so
+        # psum'd counters count every image EXACTLY once — the reference's
+        # DistributedSampler double-counts the tail (a parity bug the
+        # batch-validity design fixes for free); train keeps the
+        # DistributedSampler semantics (equal per-shard batch counts).
         per = -(-n // self.num_shards)
         padded = np.concatenate([order, order[:per * self.num_shards - n]])
-        return padded[self.shard_index::self.num_shards]
+        pos = np.arange(len(padded))
+        valid = (pos < n) | self.shuffle
+        return (padded[self.shard_index::self.num_shards],
+                valid[self.shard_index::self.num_shards])
+
+    def _epoch_indices(self, epoch: int,
+                       subset: Optional[np.ndarray] = None) -> np.ndarray:
+        return self._epoch_indices_valid(epoch, subset)[0]
 
     def steps_per_epoch(self, subset: Optional[np.ndarray] = None) -> int:
         n = len(self._epoch_indices(0, subset))
@@ -114,6 +129,7 @@ class DataPipeline:
         return self.ds.knn_tc == 0 and native_loader.available()
 
     def _epoch_native(self, epoch: int, idxs: np.ndarray,
+                      shard_valid: np.ndarray,
                       target: int) -> Iterator[Dict[str, np.ndarray]]:
         """Batched native decode (fastloader.cpp): resolves this epoch's
         frame ids + augmentation params on the host, decodes each batch in
@@ -171,32 +187,38 @@ class DataPipeline:
             }
             if self.drop_remainder and n < self.batch_size:
                 return
-            yield pad_batch_by_tiling(batch, target, 1)
+            out = pad_batch_by_tiling(batch, target, 1)
+            out["valid"][:n] &= shard_valid[s:s + n]
+            yield out
 
     def epoch(self, epoch: int, subset: Optional[np.ndarray] = None
               ) -> Iterator[Dict[str, np.ndarray]]:
         """Yields batches of batch_size*clip_len frames (clip-major)."""
         self.ds.set_epoch(epoch)
-        idxs = self._epoch_indices(epoch, subset)
+        idxs, shard_valid = self._epoch_indices_valid(epoch, subset)
         clip_len = self.ds.clip_len
         target = self.batch_size * clip_len
 
         if self._native_fast_path_ok():
-            yield from self._epoch_native(epoch, idxs, target)
+            yield from self._epoch_native(epoch, idxs, shard_valid, target)
             return
 
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             fetched = pool.map(self.ds.get_item, idxs, chunksize=4)
             it = iter(fetched)
+            pos = 0
             while True:
                 chunk = list(itertools.islice(it, self.batch_size))
                 if not chunk:
                     return
                 if self.drop_remainder and len(chunk) < self.batch_size:
                     return
+                sv = shard_valid[pos:pos + len(chunk)]
+                pos += len(chunk)
                 flat = [d for clip in chunk for d in clip]
                 batch = collate(flat)
                 batch = pad_batch_by_tiling(batch, target, clip_len)
+                batch["valid"][:len(flat)] &= np.repeat(sv, clip_len)
                 yield batch
 
 

@@ -132,7 +132,11 @@ class Trainer:
             eval_mesh = pmesh.make_mesh(
                 dp=dpe, mp=1, devices=jax.local_devices()[:dpe])
             self.eval_sharding = pmesh.batch_sharding(eval_mesh)
-        self.state = jax.device_put(self.state, self.replicated_sharding)
+        # replicated state on the dp axis; with mp > 1 the classifier
+        # head's fc weight is tensor-parallel over classes (a REAL
+        # P(MP) annotation — see parallel/mesh.state_sharding)
+        self.state = jax.device_put(
+            self.state, pmesh.state_sharding(self.mesh, self.state))
         self.is_master = jax.process_index() == 0
         # host-side counter reduction across processes (no-op single-host)
         self.reduce_fn = lambda x: pmesh.psum_across(x, self.mesh)

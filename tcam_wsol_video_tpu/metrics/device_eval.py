@@ -11,11 +11,13 @@ wsol_metrics.py:127-197).  On TPU we instead:
 3. IoU against (padded) GT boxes and psum the per-(sigma, tau) counters
    over the data-parallel mesh.
 
-The covering bbox equals the benchmark box when the thresholded map is a
-single connected blob (the common CAM case); with multi_contour_eval the
-benchmark takes the best contour's box, so this sweep is an approximation
-used for fast model selection during training — final reported numbers
-come from metrics/wsol.py (exact cv2 protocol).
+The per-threshold box is the largest contiguous run of super-threshold
+rows x columns (ops/boxes.sweep_largest_run_boxes): exact on single
+connected blobs and tracking the benchmark's best-contour box
+(multi_contour_eval) closely on multi-blob maps (quantified bound:
+tests/test_metrics.py::test_device_eval_tracks_host_on_multi_blob_cams).
+This sweep is used for fast model selection during training — final
+reported numbers come from metrics/wsol.py (exact cv2 protocol).
 """
 from __future__ import annotations
 
@@ -24,7 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from tcam_wsol_video_tpu.ops.boxes import iou_matrix, sweep_covering_boxes
+from tcam_wsol_video_tpu.ops.boxes import (iou_matrix,
+                                           sweep_largest_run_boxes)
 
 Array = jax.Array
 
@@ -37,7 +40,7 @@ def _counters_one(cam: Array, gt_boxes: Array, gt_valid: Array,
     cam: (H, W) in [0, 1]; gt_boxes: (G, 4) padded; gt_valid: (G,) bool;
     taus: (T,); sigmas: (S,) fractions.  Returns (S, T) 0/1.
     """
-    boxes = sweep_covering_boxes(cam, taus)              # (T, 4)
+    boxes = sweep_largest_run_boxes(cam, taus)           # (T, 4)
     iou = iou_matrix(boxes, gt_boxes)                    # (T, G)
     iou = jnp.where(gt_valid[None, :], iou, 0.0)
     best = jnp.max(iou, axis=1)                          # (T,)

@@ -73,6 +73,36 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def state_sharding(mesh: Mesh, tree):
+    """Sharding pytree for a TrainState: the classification head's fc
+    kernel is sharded over classes on the MP axis (bias likewise), all
+    other leaves replicated.
+
+    This is the one tensor-parallel annotation the architecture truly
+    offers: the (C, num_classes) head is the widest weight at ILSVRC
+    scale (2048 x 1000) and its matmul partitions cleanly over the class
+    axis — XLA's SPMD partitioner computes per-shard logits and inserts
+    the all-gather where the loss needs them.  Every other parameter is
+    a conv kernel that is faster replicated at this model size (the
+    reference is dp-only, SURVEY §2.8; mp > 1 here is an honest
+    extension, not parity).  Works on the params, opt-state and grads
+    trees alike (optax momentum mirrors the params structure).
+    """
+    mp_n = mesh.shape[MP]
+
+    def rule(path, x):
+        keys = [str(getattr(p, "key", getattr(p, "name", "")))
+                for p in path]
+        if mp_n > 1 and "classification_head" in keys and "fc" in keys:
+            if keys[-1] == "kernel" and getattr(x, "ndim", 0) == 2:
+                return NamedSharding(mesh, P(None, MP))
+            if keys[-1] == "bias" and getattr(x, "ndim", 0) == 1:
+                return NamedSharding(mesh, P(MP))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, tree)
+
+
 def psum_across(x, mesh: Optional[Mesh] = None):
     """Sum a host-side value across processes — the counter-reduction
     analogue of the reference's all_gather helper

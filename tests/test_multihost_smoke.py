@@ -84,3 +84,13 @@ def test_two_process_train(tmp_path_factory):
             break
     else:
         raise AssertionError("no train epoch line in log.txt:\n" + log_txt)
+
+    # eval exact-once across shards: psum'd n_images equals the split
+    # size (tail-duplicated shard entries are masked invalid — the
+    # reference's DistributedSampler double-counts these)
+    saw_eval = False
+    for ln in log_txt.splitlines():
+        if "n_images=" in ln:
+            assert int(float(ln.split("n_images=")[1].split()[0])) == 24, ln
+            saw_eval = True
+    assert saw_eval, "no eval lines in log.txt:\n" + log_txt
