@@ -68,7 +68,7 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(96, (3, 3), padding=1, dtype=d,
                          name="branch3x3dbl_3")(b3, train)
         bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                         count_include_pad=False)
+                         count_include_pad=True)
         bp = BasicConv2d(self.pool_features, (1, 1), dtype=d,
                          name="branch_pool")(bp, train)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
@@ -120,7 +120,7 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(192, (1, 7), padding=(0, 3), dtype=d,
                          name="branch7x7dbl_5")(bd, train)
         bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                         count_include_pad=False)
+                         count_include_pad=True)
         bp = BasicConv2d(192, (1, 1), dtype=d, name="branch_pool")(bp, train)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
