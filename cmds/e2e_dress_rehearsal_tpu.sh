@@ -1,0 +1,76 @@
+#!/usr/bin/env bash
+# FULL-SCALE synthetic dress rehearsal (VERDICT r2 next-steps #4): the
+# closest available proxy for the real YTOv1 recipe in a zero-egress
+# environment — YTOv1-like scale (10 classes, 400 train shots / 3200
+# frames at 256x320), eval resolution 224px, recipe batch 32, the
+# published two-stage recipe (/root/reference/README.md:229-339) with
+# the TPU-production landmark CRF, >=20 stage-2 epochs on the chip.
+#
+# Records per-epoch wall-clock (the trainer logs `seconds=` per epoch),
+# final test MaxBoxAcc, and standalone-eval agreement.  Summarize into
+# PARITY.md after a run.
+#
+# Usage: bash cmds/e2e_dress_rehearsal_tpu.sh [workdir]   (~30-60 min)
+set -e
+cd "$(dirname "$0")/.."
+ROOT=${1:-/tmp/tcam_dress}
+OUT=$ROOT/exps
+EPOCHS_S1=${EPOCHS_S1:-10}
+EPOCHS_S2=${EPOCHS_S2:-20}
+S2_EXTRA=${S2_EXTRA:---crf_impl landmarks}
+
+python - <<EOF
+from tcam_wsol_video_tpu.data.synthetic import make_synthetic_dataset
+import os
+if not os.path.isdir("$ROOT/folds"):
+    os.makedirs("$ROOT", exist_ok=True)
+    make_synthetic_dataset("$ROOT", n_classes=10, n_videos_per_class=8,
+                           n_shots_per_video=5, n_frames_per_shot=8,
+                           frame_hw=(256, 320))
+    print("dress-rehearsal dataset at $ROOT: 10 classes, 400 shots, "
+          "3200 frames")
+EOF
+
+# mini-val (20 ids/class) keeps per-epoch validation tractable; the
+# final test eval runs the FULL exact protocol on all 1600 test frames
+COMMON="--dataset YouTube-Objects-v1.0 --data_root $ROOT \
+  --metadata_root $ROOT/folds --crop_size 224 --resize_size 256 \
+  --num_workers 4"
+TAG=YouTube-Objects-v1.0-resnet50-CAM-WGAP-cp_best_localization-boxv2_True
+
+# ---- stage 1: STD_CL classifier (reference README.md:229-266)
+python main.py $COMMON --task STD_CL \
+  --batch_size 32 --eval_batch_size 64 --max_epochs $EPOCHS_S1 --lr 0.01 \
+  --cam_curve_interval 0.004 --num_val_sample_per_class 20 \
+  --checkpoint_save 0 --outd $OUT --exp_id s1
+S1=$OUT/$TAG/s1
+
+# ---- handoff: per-frame CAM store + Otsu ROI
+python -m tcam_wsol_video_tpu.cli.dump_cams $COMMON --task STD_CL \
+  --exp_dir $S1 --out $ROOT/cam_store
+
+# ---- stage 2: TCAM, published recipe values (README.md:273-339),
+#      landmark CRF at full scale 1.0 (PARITY.md: grad cosine 1.0000)
+python main.py $COMMON --task TCAM --arch UnetTCAM \
+  --batch_size 32 --eval_batch_size 64 --max_epochs $EPOCHS_S2 --lr 0.01 \
+  --cam_curve_interval 0.004 --num_val_sample_per_class 20 \
+  --elb_init_t 1.0 --elb_max_t 10.0 --elb_mulcoef 1.01 \
+  --sl_tc True --sl_tc_lambda 1.0 --sl_tc_min 1000 --sl_tc_max 1000 \
+  --sl_tc_ksz 3 --sl_tc_max_p 0.6 --sl_tc_min_p 0.1 \
+  --sl_tc_seed_tech seed_weighted --sl_tc_use_roi True \
+  --sl_tc_roi_method roi_all --sl_tc_roi_min_size 0.05 \
+  --sl_tc_knn 1 --sl_tc_knn_mode before --sl_tc_knn_t 0.0 \
+  --crf_tc True --crf_tc_lambda 2e-9 --crf_tc_sigma_rgb 15.0 \
+  --crf_tc_sigma_xy 100.0 --crf_tc_scale 1.0 \
+  --max_sizepos_tc True --max_sizepos_tc_lambda 0.01 \
+  --folder_pre_trained_cl $S1 --std_cams_folder $ROOT/cam_store \
+  --checkpoint_save 0 --outd $OUT --exp_id s2 $S2_EXTRA
+S2=$OUT/$TAG/s2
+
+# ---- final exact-protocol eval on the full test split (interval .001)
+python eval.py $COMMON --task TCAM --arch UnetTCAM \
+  --cam_curve_interval 0.001 --exp_dir $S2 --split test
+
+echo "== per-epoch wall-clock (stage 2) =="
+grep -o "split=train epoch=[0-9]* .*seconds=[0-9.]*" $S2/log.txt || true
+echo "Dress rehearsal complete: $S2"

@@ -7,6 +7,15 @@ train_wsol.py:978-981, inference_wsol.py:426-430).  JAX keys give the same
 bit-stability for free; `KeyChain` fixes the split plan so any (epoch,
 step, purpose) tuple always maps to the same key, independent of host
 iteration order — this is what makes CAM dumps reproducible.
+
+Derivation is a pure-host SHA-256 over (seed, *path): the original
+fold_in-chain implementation dispatched 3-5 device ops PLUS a readback
+per call, which on a remote-tunneled TPU backend costs tens of ms — the
+input pipeline calls numpy_rng twice per frame, so key derivation alone
+throttled the loader to ~7 f/s (measured round-3).  The hash scheme is
+equally deterministic and collision-resistant, touches the device only
+when an actual jax key is materialized (one PRNGKey call), and costs
+~1 us per derivation.
 """
 from __future__ import annotations
 
@@ -16,9 +25,15 @@ import jax
 import numpy as np
 
 
-def _fold_str(key: jax.Array, s: str) -> jax.Array:
-    h = int.from_bytes(hashlib.sha256(s.encode()).digest()[:4], "little")
-    return jax.random.fold_in(key, h)
+def _digest(seed: int, path) -> bytes:
+    h = hashlib.sha256(int(seed).to_bytes(8, "little", signed=True))
+    for p in path:
+        h.update(b"/")
+        if isinstance(p, str):
+            h.update(p.encode())
+        else:
+            h.update(int(p).to_bytes(8, "little", signed=True))
+    return h.digest()
 
 
 class KeyChain:
@@ -26,21 +41,16 @@ class KeyChain:
 
     def __init__(self, seed: int):
         self.seed = int(seed)
-        self._root = jax.random.PRNGKey(self.seed)
 
     def key(self, *path) -> jax.Array:
         """kc.key('train', epoch, step) -> stable key for that site."""
-        k = self._root
-        for p in path:
-            if isinstance(p, str):
-                k = _fold_str(k, p)
-            else:
-                k = jax.random.fold_in(k, int(p))
-        return k
+        d = _digest(self.seed, path)
+        return jax.random.PRNGKey(int.from_bytes(d[:8], "little")
+                                  % (2 ** 63))
 
     def numpy_rng(self, *path) -> np.random.Generator:
-        """Host-side RNG (data augmentation, frame sampling) derived from the
-        same tree so host sampling is also replayable."""
-        k = self.key(*path)
-        data = np.asarray(jax.random.key_data(k)).astype(np.uint32)
-        return np.random.default_rng(np.asarray(data, dtype=np.uint32))
+        """Host-side RNG (data augmentation, frame sampling) derived from
+        the same tree so host sampling is also replayable.  Pure host —
+        no device dispatch."""
+        d = _digest(self.seed, path)
+        return np.random.default_rng(int.from_bytes(d[:16], "little"))

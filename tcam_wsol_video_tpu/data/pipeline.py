@@ -122,39 +122,48 @@ class DataPipeline:
         return -(-n // clips_per_batch)
 
     def _native_fast_path_ok(self) -> bool:
-        """The C++ batch loader covers single-frame items (clips still go
-        through the python path); CAM pairing + ROI run host-side with the
+        """The C++ batch loader covers single-frame items AND clip
+        batches (knn_tc > 0); CAM pairing + ROI run host-side with the
         same geometric params."""
         from tcam_wsol_video_tpu.data import native_loader
-        return self.ds.knn_tc == 0 and native_loader.available()
+        return native_loader.available()
 
     def _epoch_native(self, epoch: int, idxs: np.ndarray,
                       shard_valid: np.ndarray,
                       target: int) -> Iterator[Dict[str, np.ndarray]]:
         """Batched native decode (fastloader.cpp): resolves this epoch's
-        frame ids + augmentation params on the host, decodes each batch in
-        one OpenMP call."""
+        frame ids + augmentation params on the host (clip-major when
+        knn_tc > 0, each clip frame with its OWN aug draw — same
+        KeyChain streams as the python path), decodes each batch in one
+        OpenMP call."""
         from tcam_wsol_video_tpu.data import native_loader
         ds = self.ds
         c = ds.crop_size
         r = ds.transform.resize_size if ds.transform.train else c
+        clip_len = ds.clip_len
         for s in range(0, len(idxs), self.batch_size):
             chunk = idxs[s:s + self.batch_size]
             fids, labels, xs, ys, flips = [], [], [], [], []
+            seqs, frms = [], []
             for idx in chunk:
-                fid = ds.sample_ids(int(idx))[0]
-                fids.append(fid)
-                labels.append(ds.md.labels[ds.md.image_ids[int(idx)]])
-                if ds.transform.train:
-                    rng = ds.kc.numpy_rng("aug", ds.split, epoch,
-                                          int(idx), 0)
-                    ys.append(int(rng.integers(0, r - c + 1)))
-                    xs.append(int(rng.integers(0, r - c + 1)))
-                    flips.append(int(rng.random() < ds.transform.hflip_p))
-                else:
-                    ys.append(0)
-                    xs.append(0)
-                    flips.append(0)
+                ids = ds.sample_ids(int(idx))
+                lab = ds.md.labels[ds.md.image_ids[int(idx)]]
+                for fi, fid in enumerate(ids):
+                    fids.append(fid)
+                    labels.append(lab)
+                    seqs.append(np.float32(idx))
+                    frms.append(np.float32(fi))
+                    if ds.transform.train:
+                        rng = ds.kc.numpy_rng("aug", ds.split, epoch,
+                                              int(idx), fi)
+                        ys.append(int(rng.integers(0, r - c + 1)))
+                        xs.append(int(rng.integers(0, r - c + 1)))
+                        flips.append(int(rng.random()
+                                         < ds.transform.hflip_p))
+                    else:
+                        ys.append(0)
+                        xs.append(0)
+                        flips.append(0)
             paths = [f"{ds.data_root}/{f}" for f in fids]
             norm, raw = native_loader.load_batch(
                 paths, resize=r, crop=c, xs=np.asarray(xs),
@@ -178,17 +187,18 @@ class DataPipeline:
                 "raw_img": raw,
                 "std_cam": cams,
                 "has_cam": has,
-                "seq_iter": chunk.astype(np.float32),
-                "frm_iter": np.zeros((n,), np.float32),
+                "seq_iter": np.asarray(seqs, np.float32),
+                "frm_iter": np.asarray(frms, np.float32),
                 "roi": rois,
                 "msk_bbox": msks,
                 "fg_size": fgs,
                 "image_id": fids,
             }
-            if self.drop_remainder and n < self.batch_size:
+            if self.drop_remainder and len(chunk) < self.batch_size:
                 return
-            out = pad_batch_by_tiling(batch, target, 1)
-            out["valid"][:n] &= shard_valid[s:s + n]
+            out = pad_batch_by_tiling(batch, target, clip_len)
+            out["valid"][:n] &= np.repeat(shard_valid[s:s + len(chunk)],
+                                          clip_len)
             yield out
 
     def epoch(self, epoch: int, subset: Optional[np.ndarray] = None

@@ -38,6 +38,13 @@ def make_synthetic_dataset(root: str, n_classes: int = 3,
     classes = [f"class{i}" for i in range(n_classes)]
     colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220),
               (220, 220, 40), (220, 40, 220)]
+    if n_classes > len(colors):
+        # procedural hues so every class stays visually separable at
+        # YTOv1 scale (10 classes) — dress-rehearsal sized sets
+        import colorsys
+        for i in range(len(colors), n_classes):
+            r, g, b = colorsys.hsv_to_rgb((i + 0.5) / n_classes, 0.85, 0.8)
+            colors.append((int(r * 255), int(g * 255), int(b * 255)))
 
     train_ids: List[str] = []
     train_labels: List[str] = []

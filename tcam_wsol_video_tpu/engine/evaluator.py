@@ -212,27 +212,39 @@ class CamEvaluator:
                 dev_counters = c if dev_counters is None else dev_counters + c
                 dev_count += int(valid.sum())
             else:
-                # cv2 releases the GIL: the per-image contour sweeps of a
-                # batch run in parallel threads (the reference runs them
-                # serially per image, inference_wsol.py:328-374)
                 cams_np = np.asarray(cams)
                 idxs = [i for i in range(cams_np.shape[0]) if valid[i]]
+                from tcam_wsol_video_tpu.metrics import native_sweep
+                if (evaluator.multi_contour_eval and idxs
+                        and native_sweep.available()):
+                    # native all-threshold union-find sweep: one C call
+                    # per batch replaces ~1000 cv2 passes per image
+                    # (exactness: test_native_sweep_matches_cv2_protocol)
+                    best, _ = native_sweep.sweep_best_iou(
+                        cams_np[idxs], evaluator.cam_threshold_list,
+                        [gt_boxes[i][gt_valid[i]] for i in idxs])
+                    for j, i in enumerate(idxs):
+                        evaluator.accumulate_best_iou(
+                            best[j], int(batch["label"][i]), preds[i])
+                else:
+                    # cv2 releases the GIL: the per-image contour sweeps
+                    # of a batch run in parallel threads (the reference
+                    # runs them serially, inference_wsol.py:328-374)
+                    def sweep(i):
+                        from tcam_wsol_video_tpu.metrics.wsol import \
+                            scoremap_to_boxes
+                        return i, scoremap_to_boxes(
+                            cams_np[i], evaluator.cam_threshold_list,
+                            evaluator.multi_contour_eval)
 
-                def sweep(i):
-                    from tcam_wsol_video_tpu.metrics.wsol import \
-                        scoremap_to_boxes
-                    return i, scoremap_to_boxes(
-                        cams_np[i], evaluator.cam_threshold_list,
-                        evaluator.multi_contour_eval)
-
-                import concurrent.futures as cf
-                with cf.ThreadPoolExecutor(
-                        min(8, max(1, len(idxs)))) as pool:
-                    for i, boxes_counts in pool.map(sweep, idxs):
-                        evaluator.accumulate(
-                            cams_np[i], gt_boxes[i][gt_valid[i]],
-                            int(batch["label"][i]), preds[i],
-                            precomputed=boxes_counts)
+                    import concurrent.futures as cf
+                    with cf.ThreadPoolExecutor(
+                            min(8, max(1, len(idxs)))) as pool:
+                        for i, boxes_counts in pool.map(sweep, idxs):
+                            evaluator.accumulate(
+                                cams_np[i], gt_boxes[i][gt_valid[i]],
+                                int(batch["label"][i]), preds[i],
+                                precomputed=boxes_counts)
                 if (self.visual_dump_dir
                         and len(self._visuals) < self.visual_dump_n):
                     for i in idxs:

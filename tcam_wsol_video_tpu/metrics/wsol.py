@@ -130,7 +130,12 @@ class BoxEvaluator:
         # best IoU among this tau's boxes
         per_tau = np.maximum.reduceat(
             best_per_box, np.concatenate([[0], np.cumsum(counts)[:-1]]))
+        self.accumulate_best_iou(per_tau, target, preds_ordered)
 
+    def accumulate_best_iou(self, per_tau: np.ndarray, target: int,
+                            preds_ordered: np.ndarray) -> None:
+        """One image, given its per-tau best-IoU vector (e.g. from the
+        native all-threshold sweep, metrics/native_sweep.py)."""
         top1_hit = target == preds_ordered[0]
         top5_hit = target in preds_ordered[:5]
         for sigma in self.iou_threshold_list:

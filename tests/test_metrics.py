@@ -151,6 +151,69 @@ def test_device_eval_tracks_host_on_multi_blob_cams():
     assert np.mean(dev_gap) <= 3.0, (dev_acc, host_acc)
 
 
+def _sweep_test_maps():
+    """Diverse scoremaps: smooth blobs, blobs with holes, uniform noise,
+    quantized plateaus, constant, near-empty."""
+    rng = np.random.default_rng(5)
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    maps = []
+    for _ in range(4):                       # smooth gaussians
+        cy, cx, r = rng.uniform(10, 54, 3)
+        m = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * max(r, 6) ** 2))
+        maps.append(m)
+    m = np.exp(-((yy - 30) ** 2 + (xx - 30) ** 2) / 500)   # blob w/ hole
+    m[28:33, 28:33] = 0.02
+    maps.append(m)
+    maps.append(rng.random((h, w)))          # uniform noise (worst case)
+    maps.append((rng.random((h, w)) * 4).astype(int) / 4.0)  # plateaus
+    maps.append(np.full((h, w), 0.5))        # constant
+    z = np.zeros((h, w)); z[5, 7] = 1.0
+    maps.append(z)                           # single pixel
+    return [np.clip(m, 0.0, 1.0).astype(np.float32) for m in maps]
+
+
+def test_native_sweep_matches_cv2_protocol():
+    """The native union-find all-threshold sweep must reproduce the cv2
+    protocol EXACTLY: identical box sets per threshold (outer + inner
+    hole contours) and identical BoxEvaluator counters."""
+    from tcam_wsol_video_tpu.metrics import native_sweep
+    from tcam_wsol_video_tpu.metrics.wsol import scoremap_to_boxes
+    if not native_sweep.available():
+        pytest.skip("native sweep unavailable")
+
+    taus = np.arange(0.0, 1.0, 0.01)
+    rng = np.random.default_rng(9)
+    maps = _sweep_test_maps()
+
+    # 1) box-set parity at sampled thresholds
+    for m in maps:
+        for tau in (0.05, 0.3, 0.5, 0.77, 0.95):
+            ref_boxes, _ = scoremap_to_boxes(m, [tau], multi_contour=True)
+            got = native_sweep.sweep_boxes_at(m, tau)
+            ref_set = sorted(map(tuple, ref_boxes[0].astype(int).tolist()))
+            got_set = sorted(map(tuple, got.astype(int).tolist()))
+            assert ref_set == got_set, (tau, ref_set[:5], got_set[:5])
+
+    # 2) full-counter parity through BoxEvaluator
+    ev_ref = BoxEvaluator(taus, multi_contour_eval=True)
+    ev_nat = BoxEvaluator(taus, multi_contour_eval=True)
+    gts = []
+    for m in maps:
+        x0, y0 = rng.integers(2, 30, 2)
+        gts.append(np.asarray([[x0, y0, x0 + rng.integers(8, 30),
+                                y0 + rng.integers(8, 30)]], np.float64))
+    best, _ = native_sweep.sweep_best_iou(np.stack(maps), taus, gts)
+    for i, m in enumerate(maps):
+        ev_ref.accumulate(m, gts[i], target=0,
+                          preds_ordered=np.asarray([0]))
+        ev_nat.accumulate_best_iou(best[i], 0, np.asarray([0]))
+    for s in (30, 50, 70):
+        np.testing.assert_array_equal(ev_ref.num_correct[s],
+                                      ev_nat.num_correct[s])
+    assert ev_ref.compute() == ev_nat.compute()
+
+
 def test_mask_evaluator_pxap():
     taus = list(np.arange(0.0, 1.0, 0.01))
     ev = MaskEvaluator(taus)
