@@ -151,6 +151,11 @@ def get_config(dataset: str) -> Dict[str, Any]:
         # (engine/evaluator.py)
         "compute_dtype": "bfloat16",
         "eval_compute_dtype": "float32",
+        # device->host CAM transfer for the eval protocol: float32
+        # (exact) or uint16 ([0,1] packed into 2 bytes, quantization
+        # error 7.6e-6 vs the protocol's .001 tau grid) — use uint16
+        # when the host link, not the sweep, bounds evaluation
+        "eval_transfer": "float32",
 
         # pooling-head hyperparameters
         "lse_r": 10.0,
@@ -417,6 +422,7 @@ def finalize(args: HParams) -> HParams:
     assert args.method in constants.CAM_METHODS
     assert args.sl_tc_seed_tech in constants.SEED_TECHS
     assert args.crf_impl in ("exact", "landmarks", "rff"), args.crf_impl
+    assert args.eval_transfer in ("float32", "uint16"), args.eval_transfer
     assert args.sl_tc_roi_method in constants.ROI_SELECT
     assert args.sl_tc_knn_mode in constants.TIME_DEPENDENCY
 

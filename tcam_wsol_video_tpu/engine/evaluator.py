@@ -86,6 +86,8 @@ class CamEvaluator:
             cams, logits = self.eval_step(params, bstats, images, targets,
                                           key)
             cams_np = np.asarray(cams)
+            if cams_np.dtype == np.uint16:      # eval_transfer=uint16
+                cams_np = cams_np.astype(np.float32) / 65535.0
             preds = np.argsort(-np.asarray(logits), axis=-1, kind="stable")
             valid = batch["valid"]
             n_correct += int(((preds[:, 0] == batch["label"]) & valid).sum())
@@ -170,41 +172,26 @@ class CamEvaluator:
         n_total = 0
 
         is_cbox = self.args.task == constants.C_BOX
-        for batch in self.pipe.epoch(0):
-            images = self._put(batch["image"])
-            targets = self._put(batch["label"])
-            if is_cbox:
-                cls_vars = self.classifier[1]
-                boxes, box_valid, logits = self.eval_step(
-                    params, bstats, cls_vars["params"],
-                    cls_vars.get("batch_stats", {}), images)
-                cams = None
-            else:
-                raw = (self._put(batch["raw_img"])
-                       if self.args.crf_post_process else None)
-                cams, logits = self.eval_step(params, bstats, images,
-                                              targets, key, raw)
+
+        def _process(pend):
+            """Host-side protocol work for one already-dispatched batch:
+            readback (started async), classification counting, tau sweep,
+            counter accumulation.  Runs while the NEXT batch's eval step
+            executes on the device — on a tunneled/remote backend the
+            device->host CAM copy dominates the protocol wall-clock
+            (measured 41 ms/img vs 10 ms sweep + 4.5 ms decode), so the
+            one-batch software pipeline hides it behind device compute."""
+            nonlocal n_correct_cl, n_total, dev_counters, dev_count
+            cams, logits, batch, gt_boxes, gt_valid = pend
             valid = batch["valid"]
             logits_np = np.asarray(logits)
             preds = np.argsort(-logits_np, axis=-1, kind="stable")
             n_correct_cl += int(((preds[:, 0] == batch["label"])
                                  & valid).sum())
             n_total += int(valid.sum())
-
-            gt_boxes, gt_valid = self._gt_batch(batch["image_id"])
-            if is_cbox:
-                boxes_np = np.asarray(boxes)
-                bv = np.asarray(box_valid)
-                for i in range(boxes_np.shape[0]):
-                    if not valid[i]:
-                        continue
-                    evaluator.accumulate(
-                        None, gt_boxes[i][gt_valid[i]],
-                        int(batch["label"][i]), preds[i],
-                        bbox=boxes_np[i].tolist(),
-                        bbox_status=int(bv[i]))
-                continue
             if self.on_device:
+                if cams.dtype == jnp.uint16:    # eval_transfer=uint16
+                    cams = cams.astype(jnp.float32) / 65535.0
                 gt_valid_dev = jnp.asarray(gt_valid & valid[:, None])
                 c = device_eval.batch_counters(
                     cams, jnp.asarray(gt_boxes), gt_valid_dev, taus_dev,
@@ -213,6 +200,8 @@ class CamEvaluator:
                 dev_count += int(valid.sum())
             else:
                 cams_np = np.asarray(cams)
+                if cams_np.dtype == np.uint16:  # eval_transfer=uint16
+                    cams_np = cams_np.astype(np.float32) / 65535.0
                 idxs = [i for i in range(cams_np.shape[0]) if valid[i]]
                 from tcam_wsol_video_tpu.metrics import native_sweep
                 if (evaluator.multi_contour_eval and idxs
@@ -253,6 +242,46 @@ class CamEvaluator:
                         self._visuals.append(
                             (batch["image_id"][i], batch["raw_img"][i],
                              cams_np[i], gt_boxes[i][gt_valid[i]]))
+
+        pending = None
+        for batch in self.pipe.epoch(0):
+            images = self._put(batch["image"])
+            targets = self._put(batch["label"])
+            if is_cbox:
+                cls_vars = self.classifier[1]
+                boxes, box_valid, logits = self.eval_step(
+                    params, bstats, cls_vars["params"],
+                    cls_vars.get("batch_stats", {}), images)
+                valid = batch["valid"]
+                logits_np = np.asarray(logits)
+                preds = np.argsort(-logits_np, axis=-1, kind="stable")
+                n_correct_cl += int(((preds[:, 0] == batch["label"])
+                                     & valid).sum())
+                n_total += int(valid.sum())
+                gt_boxes, gt_valid = self._gt_batch(batch["image_id"])
+                boxes_np = np.asarray(boxes)
+                bv = np.asarray(box_valid)
+                for i in range(boxes_np.shape[0]):
+                    if not valid[i]:
+                        continue
+                    evaluator.accumulate(
+                        None, gt_boxes[i][gt_valid[i]],
+                        int(batch["label"][i]), preds[i],
+                        bbox=boxes_np[i].tolist(),
+                        bbox_status=int(bv[i]))
+                continue
+            raw = (self._put(batch["raw_img"])
+                   if self.args.crf_post_process else None)
+            cams, logits = self.eval_step(params, bstats, images,
+                                          targets, key, raw)
+            if not self.on_device and hasattr(cams, "copy_to_host_async"):
+                cams.copy_to_host_async()
+            gt_boxes, gt_valid = self._gt_batch(batch["image_id"])
+            if pending is not None:
+                _process(pending)
+            pending = (cams, logits, batch, gt_boxes, gt_valid)
+        if pending is not None:
+            _process(pending)
 
         if reduce_fn is not None:
             # multi-host: each process evaluated its data shard; sum the

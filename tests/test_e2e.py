@@ -455,6 +455,38 @@ def test_eval_with_crf_post_processing(synth):
     assert 0.0 <= res["localization"] <= 100.0
 
 
+def test_eval_transfer_uint16_matches_float32(synth):
+    """--eval_transfer uint16 (2-byte packed device->host CAMs for
+    bandwidth-starved host links) must reproduce the float32 protocol:
+    identical counters/curves on the same model (quantization error
+    7.6e-6 vs the .001 tau grid)."""
+    from tcam_wsol_video_tpu.engine.evaluator import CamEvaluator
+    from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
+                                                    init_model)
+
+    kc = KeyChain(0)
+    md = load_split_metadata(synth["metadata_root"], "val")
+    results = {}
+    for mode in ("float32", "uint16"):
+        args = _small_args(eval_transfer=mode)
+        ds = WSOLVideoDataset(md, synth["data_root"], "val", C.YTOV1,
+                              PairedTransform(40, 32, train=False), kc,
+                              crop_size=32)
+        pipe = DataPipeline(ds, 8, kc, shuffle=False, num_workers=1)
+        model = create_model_from_args(args)
+        variables = init_model(model, kc.key("init"), (1, 32, 32, 3))
+        ev = CamEvaluator(model, args, ds, pipe, "val")
+        results[mode] = ev.run(jax.device_get(variables), kc.key("e"))
+    f32, u16 = results["float32"], results["uint16"]
+    for k in f32:
+        if k == "curves":
+            for c_f, c_u in zip(f32[k], u16[k]):
+                np.testing.assert_array_equal(np.asarray(c_f),
+                                              np.asarray(c_u))
+        elif isinstance(f32[k], (int, float)):
+            assert f32[k] == u16[k], (k, f32[k], u16[k])
+
+
 @pytest.mark.parametrize("encoder", ["vgg16", "inceptionv3"])
 def test_other_encoders_train_smoke(synth, encoder, tmp_path_factory):
     """One STD_CL epoch with the non-ResNet encoders: forward/backward,
