@@ -212,7 +212,7 @@ def bench_eval_protocol(variables=None) -> dict:
     cfg.update(task=constants.TCAM, arch=constants.UNETTCAM,
                crop_size=224, resize_size=256, eval_batch_size=64,
                compute_dtype="bfloat16", eval_compute_dtype="bfloat16",
-               eval_transfer="uint16",
+               eval_transfer="uint16", h2d_transfer="uint8",
                cam_curve_interval=0.001, num_workers=2, fast_eval=False)
     args = finalize(HParams(cfg))
     kc = KeyChain(0)
@@ -221,7 +221,8 @@ def bench_eval_protocol(variables=None) -> dict:
                           PairedTransform(256, 224, train=False), kc,
                           crop_size=224)
     pipe = DataPipeline(ds, args.eval_batch_size, kc, shuffle=False,
-                        num_workers=2)
+                        num_workers=2,
+                        compact=(args.h2d_transfer == "uint8"))
     model = create_model_from_args(args)
     if variables is None:
         variables = jax.device_get(init_model(model, jax.random.PRNGKey(0),
@@ -234,9 +235,11 @@ def bench_eval_protocol(variables=None) -> dict:
         lambda x: x.astype(jnp.bfloat16)
         if getattr(x, "dtype", None) == jnp.float32 else x,
         variables["params"])
+    img_dtype = (jnp.uint8 if args.h2d_transfer == "uint8"
+                 else jnp.float32)
     warm = ev.eval_step(warm_params, variables.get("batch_stats", {}),
                         jnp.zeros((args.eval_batch_size, 224, 224, 3),
-                                  jnp.float32),
+                                  img_dtype),
                         jnp.zeros((args.eval_batch_size,), jnp.int32),
                         jax.random.PRNGKey(0), None)
     jax.tree_util.tree_leaves(warm)[0].block_until_ready()
@@ -246,8 +249,8 @@ def bench_eval_protocol(variables=None) -> dict:
     fps = res["n_images"] / dt
     return {
         "metric": "TCAM protocol-complete eval frames/sec (CAM fwd + "
-                  "exact cv2 sweep @.001 + counters, uint16 transfer) "
-                  "@224px, 1 host core",
+                  "exact cv2 sweep @.001 + counters, uint8 up / uint16 "
+                  "down) @224px, 1 host core",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / REFERENCE_V100_FRAMES_PER_SEC, 3),
@@ -313,7 +316,7 @@ def bench_pipeline_train() -> dict:
     cfg = get_config(constants.YTOV1)
     cfg.update(task=constants.TCAM, arch=constants.UNETTCAM,
                crop_size=224, resize_size=256, batch_size=32,
-               compute_dtype="bfloat16",
+               compute_dtype="bfloat16", h2d_transfer="uint8",
                sl_tc=True, sl_tc_max=1000, sl_tc_min=1000,
                sl_tc_use_roi=True, sl_tc_seed_tech=constants.SEED_WEIGHTED,
                sl_tc_knn=1, sl_tc_knn_mode=constants.TIME_BEFORE,
@@ -330,7 +333,8 @@ def bench_pipeline_train() -> dict:
         roi_method=args.sl_tc_roi_method,
         p_min_area_roi=args.sl_tc_roi_min_size)
     pipe = DataPipeline(ds, args.batch_size, kc, shuffle=True,
-                        num_workers=2)
+                        num_workers=2,
+                        compact=(args.h2d_transfer == "uint8"))
     model = create_model_from_args(args)
     trainer = Trainer(args, model, pipe, {}, keychain=kc)
 
@@ -344,8 +348,8 @@ def bench_pipeline_train() -> dict:
     fps = n_seen / dt
     return {
         "metric": "TCAM sustained pipeline-fed train frames/sec/chip "
-                  "(native decode + CAM pairing + lmk-CRF step) @224px "
-                  "bs32, 1 host core",
+                  "(native decode + CAM pairing + uint8 H2D + lmk-CRF "
+                  "step) @224px bs32, 1 host core",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / REFERENCE_V100_TRAIN_FRAMES_PER_SEC, 3),

@@ -73,7 +73,8 @@ def build_data(args: HParams, kc: KeyChain):
     train_pipe = DataPipeline(train_ds, args.batch_size, kc, shuffle=True,
                               num_workers=args.num_workers,
                               num_shards=jax.process_count(),
-                              shard_index=jax.process_index())
+                              shard_index=jax.process_index(),
+                              compact=(args.h2d_transfer == "uint8"))
 
     eval_pipes = {}
     for split in (constants.VALIDSET, constants.TESTSET):
@@ -94,7 +95,8 @@ def build_data(args: HParams, kc: KeyChain):
         pipe = DataPipeline(ds, args.eval_batch_size, kc, shuffle=False,
                             num_workers=args.num_workers,
                             num_shards=jax.process_count(),
-                            shard_index=jax.process_index())
+                            shard_index=jax.process_index(),
+                            compact=(args.h2d_transfer == "uint8"))
         eval_pipes[split] = (ds, pipe)
     return train_pipe, eval_pipes
 

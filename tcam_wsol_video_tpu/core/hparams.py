@@ -156,6 +156,12 @@ def get_config(dataset: str) -> Dict[str, Any]:
         # error 7.6e-6 vs the protocol's .001 tau grid) — use uint16
         # when the host link, not the sweep, bounds evaluation
         "eval_transfer": "float32",
+        # host->device train-batch transfer: float32 ships normalized
+        # image + raw separately; uint8 ships ONE uint8 pixel tensor
+        # (the step re-derives the normalized input on device) plus
+        # uint16 CAMs / uint8 roi+mask — ~5x less H2D traffic
+        # (pipeline.compact_batch / steps.expand_compact_batch)
+        "h2d_transfer": "float32",
 
         # pooling-head hyperparameters
         "lse_r": 10.0,
@@ -423,6 +429,7 @@ def finalize(args: HParams) -> HParams:
     assert args.sl_tc_seed_tech in constants.SEED_TECHS
     assert args.crf_impl in ("exact", "landmarks", "rff"), args.crf_impl
     assert args.eval_transfer in ("float32", "uint16"), args.eval_transfer
+    assert args.h2d_transfer in ("float32", "uint8"), args.h2d_transfer
     assert args.sl_tc_roi_method in constants.ROI_SELECT
     assert args.sl_tc_knn_mode in constants.TIME_DEPENDENCY
 

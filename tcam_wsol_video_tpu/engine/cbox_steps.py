@@ -70,6 +70,8 @@ def make_cbox_train_step(model, classifier_model, master_loss: MasterLoss,
 
     def train_step(state: TrainState, batch, switches, key,
                    cls_params, cls_bstats):
+        from tcam_wsol_video_tpu.engine.steps import expand_compact_batch
+        batch = expand_compact_batch(batch)
         k_seed, k_rand = jax.random.split(key)
         images = batch["image"]
         n = images.shape[0]
@@ -166,6 +168,12 @@ def make_cbox_eval_step(model, classifier_model, args):
 
     @jax.jit
     def eval_step(params, bstats, cls_params, cls_bstats, images):
+        if images.dtype == jnp.uint8:   # h2d_transfer=uint8 eval upload
+            from tcam_wsol_video_tpu.core.constants import (IMAGENET_MEAN,
+                                                            IMAGENET_STD)
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+            std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+            images = (images.astype(jnp.float32) - mean) / std
         out, _ = _apply_model(model, params, bstats, images, train=False)
         x, y, valid, area, m_fg, m_bg = bs.box_stats(
             out["box"], h, w, scale_domain, eval_mode=True)

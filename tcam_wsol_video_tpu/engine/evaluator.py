@@ -81,7 +81,7 @@ class CamEvaluator:
         ev = MaskEvaluator(list(self.taus))
         n_correct, n_total = 0, 0
         for batch in self.pipe.epoch(0):
-            images = self._put(batch["image"])
+            images = self._put(batch.get("raw_u8", batch.get("image")))
             targets = self._put(batch["label"])
             cams, logits = self.eval_step(params, bstats, images, targets,
                                           key)
@@ -240,12 +240,13 @@ class CamEvaluator:
                         if len(self._visuals) >= self.visual_dump_n:
                             break
                         self._visuals.append(
-                            (batch["image_id"][i], batch["raw_img"][i],
+                            (batch["image_id"][i],
+                             batch.get("raw_img", batch.get("raw_u8"))[i],
                              cams_np[i], gt_boxes[i][gt_valid[i]]))
 
         pending = None
         for batch in self.pipe.epoch(0):
-            images = self._put(batch["image"])
+            images = self._put(batch.get("raw_u8", batch.get("image")))
             targets = self._put(batch["label"])
             if is_cbox:
                 cls_vars = self.classifier[1]
@@ -271,7 +272,8 @@ class CamEvaluator:
                         bbox_status=int(bv[i]))
                 continue
             raw = (self._put(batch["raw_img"])
-                   if self.args.crf_post_process else None)
+                   if self.args.crf_post_process and "raw_img" in batch
+                   else None)
             cams, logits = self.eval_step(params, bstats, images,
                                           targets, key, raw)
             if not self.on_device and hasattr(cams, "copy_to_host_async"):

@@ -29,6 +29,32 @@ from tcam_wsol_video_tpu.losses.core import LossInputs, MasterLoss
 from tcam_wsol_video_tpu.ops.interpolate import resize_bilinear
 
 
+def expand_compact_batch(batch):
+    """Device-side inverse of data/pipeline.compact_batch
+    (h2d_transfer=uint8): re-derive the normalized network input from the
+    uint8 pixels and unpack the quantized CAM/roi/mask planes.  Runs
+    inside the jitted step — the host ships ~5x fewer bytes and the
+    VPU does the trivial normalize."""
+    if "raw_u8" not in batch:
+        return batch
+    from tcam_wsol_video_tpu.core.constants import (IMAGENET_MEAN,
+                                                    IMAGENET_STD)
+    batch = dict(batch)
+    raw = batch.pop("raw_u8").astype(jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+    batch["raw_img"] = raw
+    batch["image"] = (raw - mean) / std
+    if "std_cam_u16" in batch:
+        batch["std_cam"] = (batch.pop("std_cam_u16").astype(jnp.float32)
+                            / 65535.0)
+    if "roi" in batch and batch["roi"].dtype == jnp.uint8:
+        batch["roi"] = batch["roi"].astype(jnp.int32)
+    if "msk_bbox" in batch and batch["msk_bbox"].dtype == jnp.uint8:
+        batch["msk_bbox"] = batch["msk_bbox"].astype(jnp.float32)
+    return batch
+
+
 def _apply_model(model, params, batch_stats, images, train, key=None):
     variables = {"params": params}
     mutable = []
@@ -87,6 +113,7 @@ def make_train_step(model, master_loss: MasterLoss, optimizer, args,
     def train_step(state: TrainState, batch, switches, key,
                    seed_weighted: jax.Array,
                    student_params=None, student_bstats=None):
+        batch = expand_compact_batch(batch)
         k_seed, k_drop = jax.random.split(key)
 
         if recompute_std_cams and not student_seed_source:
@@ -274,6 +301,15 @@ def make_cam_eval_step(model, args, classifier_model=None):
     @jax.jit
     def eval_step(params, batch_stats, images, targets, key,
                   raw_images=None):
+        if images.dtype == jnp.uint8:   # h2d_transfer=uint8 eval upload
+            from tcam_wsol_video_tpu.core.constants import (IMAGENET_MEAN,
+                                                            IMAGENET_STD)
+            raw_f = images.astype(jnp.float32)
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+            std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+            images = (raw_f - mean) / std
+            if use_crf_pp and raw_images is None:
+                raw_images = raw_f
         if task == constants.STD_CL:
             cam, logits = _std_cam(params, batch_stats, images, targets, key)
         elif task in (constants.F_CL, constants.TCAM):

@@ -455,6 +455,100 @@ def test_eval_with_crf_post_processing(synth):
     assert 0.0 <= res["localization"] <= 100.0
 
 
+def test_h2d_compact_batch_roundtrip_and_train_step(synth):
+    """h2d_transfer=uint8: expand_compact_batch(compact_batch(b)) must
+    reproduce the float32 batch up to the documented quantization
+    (raw +-0.5/255; image re-derived exactly from the quantized raw),
+    and a full train step on the compact batch must track the f32 step."""
+    from tcam_wsol_video_tpu.data.pipeline import DataPipeline, compact_batch
+    from tcam_wsol_video_tpu.data.transforms import normalize_imagenet
+    from tcam_wsol_video_tpu.engine.steps import expand_compact_batch
+
+    kc = KeyChain(0)
+    md = load_split_metadata(synth["metadata_root"], "train")
+    ds = WSOLVideoDataset(md, synth["data_root"], "train", C.YTOV1,
+                          PairedTransform(40, 32, train=True), kc,
+                          crop_size=32)
+    pipe = DataPipeline(ds, 4, kc, shuffle=False, num_workers=1)
+    batch = next(iter(pipe.epoch(0)))
+    comp = compact_batch(batch)
+    assert comp["raw_u8"].dtype == np.uint8 and "image" not in comp
+    exp = {k: np.asarray(v) for k, v in expand_compact_batch(
+        {k: jnp.asarray(v) for k, v in comp.items()
+         if k != "image_id"}).items()}
+    np.testing.assert_allclose(exp["raw_img"], batch["raw_img"],
+                               atol=0.5 + 1e-5)
+    # image must equal the host normalization of the SAME quantized raw
+    ref_img = normalize_imagenet(exp["raw_img"] / 255.0)
+    np.testing.assert_allclose(exp["image"], ref_img, atol=1e-5)
+    np.testing.assert_allclose(exp["std_cam"], batch["std_cam"],
+                               atol=1.0 / 65535.0 + 1e-6)
+
+    # the jitted TCAM step accepts the compact batch end-to-end
+    from tcam_wsol_video_tpu.cams.seeding import TCAMSeederCfg
+    from tcam_wsol_video_tpu.engine.lr import build_lr_fn
+    from tcam_wsol_video_tpu.engine.optim import build_optimizer
+    from tcam_wsol_video_tpu.engine.state import TrainState
+    from tcam_wsol_video_tpu.engine.steps import make_train_step
+    from tcam_wsol_video_tpu.losses.build import get_loss
+    from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
+                                                    init_model)
+    args = _small_args(task=C.TCAM, sl_tc=True, max_sizepos_tc=True,
+                       sl_tc_max=10, sl_tc_min=10)
+    model = create_model_from_args(args)
+    variables = init_model(model, kc.key("init"), (1, 32, 32, 3))
+    ml = get_loss(args)
+    opt = build_optimizer(args, variables["params"], build_lr_fn(args))
+    state = TrainState.create(variables, opt.init(variables["params"]),
+                              args.elb_init_t)
+    scfg = TCAMSeederCfg(seed_tech=args.sl_tc_seed_tech, min_=10, max_=10,
+                         min_p=args.sl_tc_min_p, max_p=args.sl_tc_max_p,
+                         ksz=args.sl_tc_ksz, use_roi=args.sl_tc_use_roi)
+    step = make_train_step(model, ml, opt, args, scfg)
+    sw = ml.switches(0)
+    losses = {}
+    for tag, b in (("f32", batch), ("u8", comp)):
+        dev = {k: jnp.asarray(v) for k, v in b.items() if k != "image_id"}
+        _, m = step(state, dev, sw, jax.random.PRNGKey(0),
+                    jnp.float32(1.0))
+        losses[tag] = float(m["loss"])
+    assert np.isfinite(losses["u8"])
+    assert abs(losses["u8"] - losses["f32"]) <= \
+        0.02 * max(1.0, abs(losses["f32"]))
+
+
+def test_h2d_uint8_trainer_train_and_eval(synth, tmp_path_factory):
+    """h2d_transfer=uint8 end-to-end: Trainer.train_epoch on a compact
+    pipeline + CamEvaluator on a compact eval pipeline both run and
+    produce finite metrics."""
+    from tcam_wsol_video_tpu.engine.trainer import Trainer
+    from tcam_wsol_video_tpu.models.factory import create_model_from_args
+
+    args = _small_args(max_epochs=1, lr=0.01, h2d_transfer="uint8",
+                       outd=str(tmp_path_factory.mktemp("exps_u8")))
+    kc = KeyChain(0)
+    compact = args.h2d_transfer == "uint8"
+    md_tr = load_split_metadata(synth["metadata_root"], "train")
+    ds_tr = WSOLVideoDataset(md_tr, synth["data_root"], "train", C.YTOV1,
+                             PairedTransform(40, 32, train=True), kc,
+                             crop_size=32)
+    pipe_tr = DataPipeline(ds_tr, args.batch_size, kc, num_workers=2,
+                           compact=compact)
+    md_v = load_split_metadata(synth["metadata_root"], "val")
+    ds_v = WSOLVideoDataset(md_v, synth["data_root"], "val", C.YTOV1,
+                            PairedTransform(40, 32, train=False), kc,
+                            crop_size=32)
+    eval_pipes = {"val": (ds_v, DataPipeline(ds_v, 8, kc, shuffle=False,
+                                             num_workers=2,
+                                             compact=compact))}
+    model = create_model_from_args(args)
+    tr = Trainer(args, model, pipe_tr, eval_pipes, keychain=kc)
+    m = tr.train_epoch(0)
+    assert np.isfinite(m["loss"]) and m["n"] == len(ds_tr)
+    res = tr.evaluate(0, "val")
+    assert 0.0 <= res["localization"] <= 100.0
+
+
 def test_eval_transfer_uint16_matches_float32(synth):
     """--eval_transfer uint16 (2-byte packed device->host CAMs for
     bandwidth-starved host links) must reproduce the float32 protocol:
