@@ -32,10 +32,12 @@ if not os.path.isdir("$ROOT/folds"):
 EOF
 
 # mini-val (20 ids/class) keeps per-epoch validation tractable; the
-# final test eval runs the FULL exact protocol on all 1600 test frames
+# final test eval runs the FULL exact protocol on all 1600 test frames.
+# h2d_transfer=uint8 is the production H2D posture (one uint8 pixel
+# tensor per batch, normalize on device — PARITY.md round-3).
 COMMON="--dataset YouTube-Objects-v1.0 --data_root $ROOT \
   --metadata_root $ROOT/folds --crop_size 224 --resize_size 256 \
-  --num_workers 4"
+  --h2d_transfer uint8 --num_workers 4"
 TAG=YouTube-Objects-v1.0-resnet50-CAM-WGAP-cp_best_localization-boxv2_True
 
 # ---- stage 1: STD_CL classifier (reference README.md:229-266)
