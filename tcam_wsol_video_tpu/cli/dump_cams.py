@@ -62,6 +62,27 @@ def dump_cams(args, exp_dir: str, out_dir: str, cam_size: int = 28,
     cam_fn = make_classifier_cam_fn(model, args)
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
+    # honor the production H2D posture (PARITY.md round-3): ship ONE
+    # uint8 pixel tensor per batch and normalize on device — 4x less
+    # upload on bandwidth-starved host links, where the f32 upload was
+    # the measured bottleneck of the store dump (not decode or compute)
+    use_u8 = str(getattr(args, "h2d_transfer", "float32")) == "uint8"
+
+    from tcam_wsol_video_tpu.core.constants import (IMAGENET_MEAN,
+                                                    IMAGENET_STD)
+    from tcam_wsol_video_tpu.ops.interpolate import resize_hw
+
+    @jax.jit
+    def dump_step(params, bstats, images, targets):
+        if images.dtype == jnp.uint8:
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+            std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+            images = (images.astype(jnp.float32) - mean) / std
+        cams = cam_fn(params, bstats, images, targets)
+        # store at low resolution (the reference stores encoder-resolution
+        # maps and lets the dataset resize, wsol_loader.py:505-516);
+        # resizing ON DEVICE keeps the readback at cam_size^2, not crop^2
+        return jnp.clip(resize_hw(cams, (cam_size, cam_size)), 0.0, 1.0)
 
     store = CamStore(out_dir)
     thresholds = {}
@@ -75,30 +96,46 @@ def dump_cams(args, exp_dir: str, out_dir: str, cam_size: int = 28,
     from PIL import Image
     from tcam_wsol_video_tpu.data.transforms import normalize_imagenet
 
-    for i in range(0, len(all_frames), batch_size):
-        chunk = all_frames[i:i + batch_size]
+    def _decode(chunk):
         imgs, labels = [], []
         for fid, lab in chunk:
             img = Image.open(os.path.join(data_root, fid)).convert("RGB")
             img = img.resize((args.crop_size, args.crop_size),
                              Image.BILINEAR)
-            arr = np.asarray(img, np.float32) / 255.0
-            imgs.append(normalize_imagenet(arr))
+            if use_u8:
+                imgs.append(np.asarray(img, np.uint8))
+            else:
+                arr = np.asarray(img, np.float32) / 255.0
+                imgs.append(normalize_imagenet(arr))
             labels.append(lab)
-        n = len(chunk)
-        if n < batch_size:  # static shapes: tile-pad the tail
-            imgs += [imgs[-1]] * (batch_size - n)
-            labels += [labels[-1]] * (batch_size - n)
-        cams = cam_fn(params, bstats, jnp.asarray(np.stack(imgs)),
-                      jnp.asarray(np.asarray(labels)))
-        # store at low resolution (the reference stores encoder-resolution
-        # maps and lets the dataset resize, wsol_loader.py:505-516)
-        from tcam_wsol_video_tpu.ops.interpolate import resize_hw
-        cams_lo = np.asarray(resize_hw(cams, (cam_size, cam_size)))
-        cams_lo = np.clip(cams_lo, 0.0, 1.0)
+        if len(chunk) < batch_size:  # static shapes: tile-pad the tail
+            imgs += [imgs[-1]] * (batch_size - len(chunk))
+            labels += [labels[-1]] * (batch_size - len(chunk))
+        return np.stack(imgs), np.asarray(labels, np.int32)
+
+    def _process(pend):
+        cams_dev, chunk = pend
+        cams_lo = np.asarray(cams_dev)
         for j, (fid, _) in enumerate(chunk):
             store.save_cam(fid, cams_lo[j])
             thresholds[fid] = otsu_np(np.floor(cams_lo[j] * 255.0))
+
+    # one-batch software pipeline (same shape as CamEvaluator.run):
+    # dispatch batch i, start its async host copy, decode + dispatch
+    # batch i+1 while i computes/transfers, THEN store/Otsu batch i
+    pending = None
+    for i in range(0, len(all_frames), batch_size):
+        chunk = all_frames[i:i + batch_size]
+        imgs, labels = _decode(chunk)
+        cams = dump_step(params, bstats, jnp.asarray(imgs),
+                         jnp.asarray(labels))
+        if hasattr(cams, "copy_to_host_async"):
+            cams.copy_to_host_async()
+        if pending is not None:
+            _process(pending)
+        pending = (cams, chunk)
+    if pending is not None:
+        _process(pending)
 
     store.save_thresholds(thresholds)
     log(f"wrote {len(thresholds)} cams")

@@ -38,6 +38,17 @@ def maybe_init_distributed() -> None:
             num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
             process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
         )
+        if jax.process_count() > 1:
+            # Establish the cross-process collective context (Gloo on
+            # CPU) NOW, while every rank is at the same program point.
+            # Left to the first psum_across, the context rendezvous has
+            # a ~30 s deadline that one rank can blow through if another
+            # is still compiling its train program (minutes on a starved
+            # host) — observed as "Gloo context initialization failed:
+            # DEADLINE_EXCEEDED" in the 2-process smoke.  This also acts
+            # as a startup barrier, so ranks begin compiling together.
+            from jax.experimental import multihost_utils
+            multihost_utils.process_allgather(np.zeros((1,), np.int32))
 
 
 def make_mesh(dp: int = -1, mp: int = 1,

@@ -91,6 +91,18 @@ def test_two_stage_pipeline(synth, tmp_path_factory):
     assert cam.shape == (16, 16)
     assert 0.0 <= cam.min() and cam.max() <= 1.0
 
+    # uint8-H2D dump (normalize-on-device) must reproduce the f32 dump:
+    # both paths start from the same decoded uint8 pixels, so the CAMs
+    # agree to float rounding (PARITY.md round-3 H2D compaction)
+    store_dir_u8 = str(tmp_path_factory.mktemp("cam_store_u8"))
+    args1_u8 = args1.replace(h2d_transfer="uint8")
+    store_u8 = dump_cams(args1_u8, exp1_dir, store_dir_u8, cam_size=16,
+                         batch_size=8)
+    assert store_u8.thresholds == store.thresholds
+    for fid in list(store.thresholds)[:8]:
+        np.testing.assert_allclose(store_u8.load_cam(fid),
+                                   store.load_cam(fid), atol=1e-4)
+
     # ---- stage 2: TCAM with sl + size losses + student epoch switch
     args2 = _args(C.TCAM, synth, outd=out_root, exp_id="s2", lr=0.01,
                   sl_tc=True, sl_tc_max=4, sl_tc_min=4, sl_tc_use_roi=True,
