@@ -2,8 +2,8 @@
 
 Parity targets:
 - ElementaryLoss (/root/reference/dlib/losses/core.py:21-146): per-term
-  lambda, epoch on/off window [start_ep, end_ep) with -1 = never stop,
-  snake-case name;
+  lambda, epoch on/off window [start_ep, end_ep] (end INCLUSIVE, -1 =
+  never stop), snake-case name;
 - MasterLoss (/root/reference/dlib/losses/master.py:19-88): sums the
   sub-losses, keeps per-term values, and propagates the ELB temperature.
 
@@ -68,9 +68,11 @@ class ElementaryLoss:
         self.seg_ignore_idx = seg_ignore_idx
 
     def is_on(self, epoch: int) -> bool:
+        # reference core.py:64-84: the window is INCLUSIVE of end_epoch
+        # (start_epoch <= c_epoch <= end_epoch); -1 means never stop
         if epoch < self.start_ep:
             return False
-        if self.end_ep is not None and epoch >= self.end_ep:
+        if self.end_ep is not None and epoch > self.end_ep:
             return False
         return True
 

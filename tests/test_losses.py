@@ -86,8 +86,11 @@ def test_master_loss_epoch_gating(rng):
     assert float(total0) == 0.0
     total5, h5 = ml.compute(inp, t=1.0, switches=ml.switches(5))
     assert float(total5) > 0.0
+    # end_ep is INCLUSIVE (reference core.py:76): on at 10, off at 11
     total10, _ = ml.compute(inp, t=1.0, switches=ml.switches(10))
-    assert float(total10) == 0.0
+    assert float(total10) > 0.0
+    total11, _ = ml.compute(inp, t=1.0, switches=ml.switches(11))
+    assert float(total11) == 0.0
     assert ml.names == ["self_learning_tcams"]
 
 
