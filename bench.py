@@ -259,7 +259,7 @@ def bench_eval_protocol(variables=None) -> dict:
     }
 
 
-def bench_pipeline_train() -> dict:
+def bench_pipeline_train() -> "Tuple[dict, Any]":
     """SUSTAINED pipeline-fed training: Trainer.train_epoch at 224px
     through the real DataPipeline (native JPEG decode + CAM pairing +
     ROI + prefetch) with the flagship landmark-CRF recipe step — the

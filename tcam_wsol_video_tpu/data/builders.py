@@ -258,16 +258,20 @@ class YtbbRow:
 def parse_ytbb_detection_csv(csv_path: str) -> List[YtbbRow]:
     rows: List[YtbbRow] = []
     with open(csv_path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, start=1):
             line = line.strip()
             if not line:
                 continue
             p = line.split(",")
-            # skip header lines / short rows; surface malformed data rows
-            # with the offending line for debuggability
-            if len(p) < 10 or not p[1].strip().lstrip("-").isdigit():
+            # the ONLY silently-skipped lines are recognizable headers
+            # (upstream csvs ship without one, but re-exports add it);
+            # every other malformed row raises with its location —
+            # corrupted data must surface, not vanish (advisor r3)
+            if p[0].strip().lower() in ("youtube_id", "video_id"):
                 continue
             try:
+                if len(p) < 10:
+                    raise ValueError(f"expected >= 10 fields, got {len(p)}")
                 rows.append(YtbbRow(
                     youtube_id=p[0], timestamp_ms=int(p[1]),
                     class_name=p[3], object_id=p[4],
@@ -276,7 +280,8 @@ def parse_ytbb_detection_csv(csv_path: str) -> List[YtbbRow]:
                          float(p[8]), float(p[9]))))
             except ValueError as e:
                 raise ValueError(
-                    f"malformed YT-BB row in {csv_path}: {line!r}") from e
+                    f"malformed YT-BB row at {csv_path}:{lineno}: "
+                    f"{line!r}") from e
     return rows
 
 

@@ -292,11 +292,20 @@ def make_cam_eval_step(model, args, classifier_model=None):
     use_crf_pp = bool(getattr(args, "crf_post_process", False))
     crf_pp_iters = int(getattr(args, "crf_pp_iters", 5))
     # device->host transfer format for the protocol sweep: uint16 packs
-    # the [0,1] CAM into 2 bytes (quantization error 7.6e-6, ~130x finer
-    # than the .001 tau grid) — halves-to-quarters the readback that
+    # the [0,1] CAM into 2 bytes — halves-to-quarters the readback that
     # dominates eval wall-clock on bandwidth-starved host links; the
-    # evaluator dequantizes right after np.asarray
+    # evaluator dequantizes right after np.asarray.  For box datasets
+    # the CAM is first floored to the uint8/255 grid the cv2 protocol
+    # quantizes to anyway ((scoremap*255).astype(uint8), reference
+    # wsol_metrics.py:155): k/255 -> uint16 k*257 -> /65535 -> k/255 is
+    # exact for every k (verified over all 256 values), so the uint16
+    # path is BIT-IDENTICAL to float32 there — a bare round-to-65535
+    # could shift cam*255 by ~0.002 across an integer boundary and flip
+    # a uint8 bin (advisor r3).  Mask datasets (PxAP consumes the float
+    # CAM directly) keep full 1/65535 resolution: error 7.6e-6, ~130x
+    # finer than the .001 tau grid.
     transfer = str(getattr(args, "eval_transfer", "float32"))
+    box_protocol = args.dataset != constants.OpenImages
 
     @jax.jit
     def eval_step(params, batch_stats, images, targets, key,
@@ -335,6 +344,8 @@ def make_cam_eval_step(model, args, classifier_model=None):
                                     num_iters=crf_pp_iters)[..., 1]
             cam = jnp.clip(jnp.nan_to_num(cam), 0.0, 1.0)
         if transfer == "uint16":
+            if box_protocol:
+                cam = jnp.floor(cam * 255.0) / 255.0
             cam = jnp.round(cam * 65535.0).astype(jnp.uint16)
         return cam, logits
 

@@ -21,7 +21,9 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "boxsweep.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libboxsweep.so")
+# arch-tagged: a -march=native .so from another host must never load
+from tcam_wsol_video_tpu.core.nativebuild import tagged_lib_path  # noqa: E402
+_LIB = tagged_lib_path(_NATIVE_DIR, "libboxsweep")
 
 _lib = None
 _checked = False
@@ -66,7 +68,7 @@ def sweep_best_iou(cams: np.ndarray, taus: Sequence[float],
                    gt_boxes_list: List[np.ndarray]
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """cams: (n, h, w) float32 in [0, 1]; gt_boxes_list[i]: (g_i, 4).
-    Returns (best_iou (n, n_tau) float32, n_boxes (n, n_tau) int32)."""
+    Returns (best_iou (n, n_tau) float64, n_boxes (n, n_tau) int32)."""
     assert available()
     cams = np.ascontiguousarray(cams, np.float32)
     n, h, w = cams.shape

@@ -20,7 +20,9 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "bilateral_grid.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libbilateral_grid.so")
+# arch-tagged: a -march=native .so from another host must never load
+from tcam_wsol_video_tpu.core.nativebuild import tagged_lib_path  # noqa: E402
+_LIB = tagged_lib_path(_NATIVE_DIR, "libbilateral_grid")
 
 _lib: Optional[ctypes.CDLL] = None
 

@@ -172,3 +172,31 @@ def test_proxy_split_and_subsample(tmp_path):
     assert sorted({sub.labels[i] for i in sub.image_ids}) == [0, 1]
     # n=0 is identity
     assert subsample_per_class(md, 0, np.random.default_rng(0)) is md
+
+
+def test_ytbb_csv_header_skipped_but_corrupt_rows_raise(tmp_path):
+    """Only a recognizable header line is skipped silently; corrupted
+    DATA rows must raise with their file:line, not vanish (advisor r3:
+    a blanket non-integer-timestamp skip dropped bad rows without the
+    promised error)."""
+    import pytest
+
+    good = ("vidA", 1000, 0, "cat", 0, "present", 0.25, 0.75, 0.25, 0.75)
+    header = ("youtube_id", "timestamp_ms", "class_id", "class_name",
+              "object_id", "object_presence", "xmin", "xmax", "ymin",
+              "ymax")
+    p = tmp_path / "ok.csv"
+    _ytbb_csv(p, [header, good])
+    rows = builders.parse_ytbb_detection_csv(str(p))
+    assert len(rows) == 1 and rows[0].youtube_id == "vidA"
+
+    bad_ts = ("vidA", "12e3", 0, "cat", 0, "present", 0.1, 0.9, 0.1, 0.9)
+    p2 = tmp_path / "bad_ts.csv"
+    _ytbb_csv(p2, [header, good, bad_ts])
+    with pytest.raises(ValueError, match="bad_ts.csv:3"):
+        builders.parse_ytbb_detection_csv(str(p2))
+
+    p3 = tmp_path / "short.csv"
+    _ytbb_csv(p3, [good, ("vidA", 1000, 0, "cat")])
+    with pytest.raises(ValueError, match="short.csv:2"):
+        builders.parse_ytbb_detection_csv(str(p3))

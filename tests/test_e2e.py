@@ -552,8 +552,10 @@ def test_h2d_uint8_trainer_train_and_eval(synth, tmp_path_factory):
 def test_eval_transfer_uint16_matches_float32(synth):
     """--eval_transfer uint16 (2-byte packed device->host CAMs for
     bandwidth-starved host links) must reproduce the float32 protocol:
-    identical counters/curves on the same model (quantization error
-    7.6e-6 vs the .001 tau grid)."""
+    identical counters/curves on the same model.  Bit-identical by
+    construction on box datasets: the device floors the CAM to the
+    uint8/255 grid the cv2 protocol quantizes to anyway before packing
+    (k/255 -> k*257 -> /65535 -> k/255 exactly, all 256 values)."""
     from tcam_wsol_video_tpu.engine.evaluator import CamEvaluator
     from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
                                                     init_model)
