@@ -63,7 +63,8 @@ def main(argv=None):
         PairedTransform(args.resize_size, args.crop_size, train=False),
         kc, crop_size=args.crop_size)
     pipe = DataPipeline(ds, args.eval_batch_size, kc, shuffle=False,
-                        num_workers=args.num_workers)
+                        num_workers=args.num_workers,
+                        decode_cache_mb=getattr(args, "decode_cache_mb", 0))
 
     model = create_model_from_args(args)
     c = args.crop_size

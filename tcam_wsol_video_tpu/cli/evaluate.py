@@ -55,7 +55,8 @@ def main(argv=None) -> Dict[str, float]:
     pipe = DataPipeline(ds, args.eval_batch_size, kc, shuffle=False,
                         num_workers=args.num_workers,
                         num_shards=jax.process_count(),
-                        shard_index=jax.process_index())
+                        shard_index=jax.process_index(),
+                        decode_cache_mb=getattr(args, "decode_cache_mb", 0))
 
     # resolve the checkpoint BEFORE the (slow) model init so a wrong
     # --exp_dir fails in milliseconds, not after a full XLA compile

@@ -74,7 +74,8 @@ def build_data(args: HParams, kc: KeyChain):
                               num_workers=args.num_workers,
                               num_shards=jax.process_count(),
                               shard_index=jax.process_index(),
-                              compact=(args.h2d_transfer == "uint8"))
+                              compact=(args.h2d_transfer == "uint8"),
+                            decode_cache_mb=getattr(args, "decode_cache_mb", 0))
 
     eval_pipes = {}
     for split in (constants.VALIDSET, constants.TESTSET):
@@ -96,7 +97,8 @@ def build_data(args: HParams, kc: KeyChain):
                             num_workers=args.num_workers,
                             num_shards=jax.process_count(),
                             shard_index=jax.process_index(),
-                            compact=(args.h2d_transfer == "uint8"))
+                            compact=(args.h2d_transfer == "uint8"),
+                            decode_cache_mb=getattr(args, "decode_cache_mb", 0))
         eval_pipes[split] = (ds, pipe)
     return train_pipe, eval_pipes
 

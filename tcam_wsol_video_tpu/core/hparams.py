@@ -162,6 +162,13 @@ def get_config(dataset: str) -> Dict[str, Any]:
         # uint16 CAMs / uint8 roi+mask — ~5x less H2D traffic
         # (pipeline.compact_batch / steps.expand_compact_batch)
         "h2d_transfer": "float32",
+        # epoch-persistent decoded-frame LRU cache budget (MiB) for the
+        # native host pipeline: epochs >= 2 replay JPEG decode+resize
+        # from RAM (data/native_loader.DecodedFrameCache).  0 disables.
+        # Size to the touched-frame population for full effect (~192 KiB
+        # per 256px frame); eval splits hit 100% once warm at any budget
+        # >= the split's size.
+        "decode_cache_mb": 512,
 
         # pooling-head hyperparameters
         "lse_r": 10.0,

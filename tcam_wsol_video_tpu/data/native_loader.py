@@ -52,6 +52,14 @@ def available() -> bool:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ip, ip, up, fp, fp]
         lib.load_batch.restype = ctypes.c_int
+        lib.decode_resize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, up]
+        lib.decode_resize_batch.restype = ctypes.c_int
+        lib.crop_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ip, ip, up, fp, fp]
+        lib.crop_batch_u8.restype = None
         _lib = lib
         return True
     except Exception:
@@ -85,3 +93,85 @@ def load_batch(paths: List[str], resize: int, crop: int,
     if rc != 0:
         raise IOError(f"failed to decode {paths[rc - 1]}")
     return out_norm, out_raw
+
+
+class DecodedFrameCache:
+    """Epoch-persistent LRU cache of post-resize pre-crop uint8 frames.
+
+    The pipeline's dominant host cost is JPEG decode+resize, and it was
+    paid for every frame every epoch (the reference pays it in its
+    DataLoader workers too — train_wsol.py:1107-1153).  Augmentation
+    (crop/flip) changes per epoch but the decoded, resized frame does
+    not: cache it once at `resize` resolution as uint8 (one rounding of
+    the f32 bilinear output, <= 0.5/255 on raw pixels — the same
+    quantization h2d_transfer=uint8 applies before upload anyway) and
+    replay epochs >= 2 from RAM.
+
+    Sizing: a 256px frame is ~192 KiB, so budget_mb=512 holds ~2700
+    frames.  Eval splits (fixed frames) hit 100% once warm; train with
+    random frame-per-shot converges to the full touched-frame
+    population — size the budget to cover it (YTOv1 train ~one epoch's
+    frames ~ 0.55 GiB) or accept proportional hit rates.  LRU keeps the
+    working set fresh either way.
+    """
+
+    def __init__(self, budget_mb: int = 512):
+        from collections import OrderedDict
+        self.budget = int(budget_mb) * (1 << 20)
+        self.frames: "OrderedDict[Tuple[str, int], np.ndarray]" = \
+            OrderedDict()
+        self.bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def load_batch(self, paths: List[str], resize: int, crop: int,
+                   xs: np.ndarray, ys: np.ndarray, flips: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Drop-in replacement for module-level load_batch."""
+        assert available(), "native loader unavailable"
+        n = len(paths)
+        miss_idx = []
+        for i, p in enumerate(paths):
+            k = (p, resize)
+            if k in self.frames:
+                self.frames.move_to_end(k)
+                self.hits += 1
+            else:
+                miss_idx.append(i)
+                self.misses += 1
+        if miss_idx:
+            c_paths = (ctypes.c_char_p * len(miss_idx))(
+                *[paths[i].encode() for i in miss_idx])
+            buf = np.empty((len(miss_idx), resize, resize, 3), np.uint8)
+            rc = _lib.decode_resize_batch(
+                c_paths, len(miss_idx), resize, resize,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+            if rc != 0:
+                raise IOError(
+                    f"failed to decode {paths[miss_idx[rc - 1]]}")
+            for j, i in enumerate(miss_idx):
+                frame = buf[j].copy()
+                self.frames[(paths[i], resize)] = frame
+                self.bytes += frame.nbytes
+        # LRU eviction — but never below the in-flight batch (every
+        # current key was just touched, so it sits at the MRU end)
+        while self.bytes > self.budget and len(self.frames) > n:
+            _, old = self.frames.popitem(last=False)
+            self.bytes -= old.nbytes
+
+        srcs =(ctypes.POINTER(ctypes.c_ubyte) * n)(
+            *[self.frames[(p, resize)].ctypes.data_as(
+                ctypes.POINTER(ctypes.c_ubyte)) for p in paths])
+        out_norm = np.empty((n, crop, crop, 3), np.float32)
+        out_raw = np.empty((n, crop, crop, 3), np.float32)
+        _lib.crop_batch_u8(
+            srcs, n, resize, resize, crop,
+            np.ascontiguousarray(xs, np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int)),
+            np.ascontiguousarray(ys, np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int)),
+            np.ascontiguousarray(flips, np.uint8).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_ubyte)),
+            out_norm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_raw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out_norm, out_raw

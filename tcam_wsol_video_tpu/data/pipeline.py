@@ -73,7 +73,7 @@ class DataPipeline:
                  keychain: KeyChain, shuffle: bool = True,
                  num_workers: int = 4, num_shards: int = 1,
                  shard_index: int = 0, drop_remainder: bool = False,
-                 compact: bool = False):
+                 compact: bool = False, decode_cache_mb: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.kc = keychain
@@ -89,6 +89,14 @@ class DataPipeline:
         # host->device traffic per batch (38 -> ~8 MB at bs32 224px),
         # the production posture for bandwidth-limited H2D links
         self.compact = compact
+        # decode_cache_mb > 0: epochs >= 2 replay JPEG decode+resize
+        # from an in-RAM uint8 LRU (native path only; the python/PIL
+        # fallback decodes per epoch as before)
+        self._decode_cache = None
+        if decode_cache_mb > 0:
+            from tcam_wsol_video_tpu.data.native_loader import \
+                DecodedFrameCache
+            self._decode_cache = DecodedFrameCache(decode_cache_mb)
 
     def _epoch_indices_valid(self, epoch: int,
                              subset: Optional[np.ndarray] = None):
@@ -173,7 +181,10 @@ class DataPipeline:
                         xs.append(0)
                         flips.append(0)
             paths = [f"{ds.data_root}/{f}" for f in fids]
-            norm, raw = native_loader.load_batch(
+            loader = (self._decode_cache.load_batch
+                      if self._decode_cache is not None
+                      else native_loader.load_batch)
+            norm, raw = loader(
                 paths, resize=r, crop=c, xs=np.asarray(xs),
                 ys=np.asarray(ys), flips=np.asarray(flips))
             n = len(fids)

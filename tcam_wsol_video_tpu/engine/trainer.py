@@ -252,6 +252,13 @@ class Trainer:
         return subset
 
     # -------------------------------------------------------------- train
+    @staticmethod
+    def _emit_train_log(pending) -> None:
+        step, rec = pending
+        rec = dict(rec)
+        rec["loss"] = float(rec.pop("loss_dev"))
+        log(rec, step=step)
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         args = self.args
         if self.decay_temp is not None:
@@ -307,6 +314,7 @@ class Trainer:
                               a[1] + m["n_correct"].astype(jnp.int32),
                               a[2] + m["n"].astype(jnp.int32)))
         host_step = int(self.state.step)
+        pending_log = None  # (step, record) deferred one log point
         t0 = time.time()
         from tcam_wsol_video_tpu.data.pipeline import device_prefetch
         for bucket in self._train_buckets():
@@ -347,10 +355,22 @@ class Trainer:
                         self.outd, args.keep_last_n_checkpoints)
                     self.save_meters()
                 if args.log_every and (i % args.log_every == 0):
-                    log({"split": "train", "epoch": epoch, "it": i,
-                         **({"bucket": bucket} if bucket is not None
-                            else {}),
-                         "loss": float(metrics["loss"])}, step=step)
+                    # emit the PREVIOUS log point's loss: float() on the
+                    # just-dispatched step would host-sync exactly on
+                    # logging steps (at log_every=1 that silently
+                    # reverts the async-metric accumulation win); the
+                    # stashed value has already materialized while this
+                    # step ran, so the readback is free
+                    if pending_log is not None:
+                        self._emit_train_log(pending_log)
+                    pending_log = (step, {
+                        "split": "train", "epoch": epoch, "it": i,
+                        **({"bucket": bucket} if bucket is not None
+                           else {}),
+                        "loss_dev": metrics["loss"]})
+        if pending_log is not None:
+            self._emit_train_log(pending_log)
+            pending_log = None
         tot_loss, n_corr, n = (float(acc[0]), int(acc[1]), int(acc[2]))
 
         # epoch end: ELB anneal (reference on_epoch_end :967-976), then an

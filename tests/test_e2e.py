@@ -208,6 +208,57 @@ def test_native_loader_matches_python_path(synth):
             norm[i], normalize_imagenet(raw[i] / 255.0), atol=1e-5)
 
 
+def test_decoded_frame_cache_matches_direct_load(synth):
+    """DecodedFrameCache (epoch-persistent uint8 decode cache) must
+    reproduce the direct native load up to the one uint8 rounding of the
+    resized frame (<= 0.5 on raw pixels), hit 100% on replay, and stay
+    within its byte budget under LRU eviction."""
+    import shutil
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    from tcam_wsol_video_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader unavailable")
+
+    md = load_split_metadata(synth["metadata_root"], "test")
+    paths = [os.path.join(synth["data_root"], i) for i in md.image_ids[:6]]
+    xs = np.asarray([0, 2, 4, 1, 3, 0])
+    ys = np.asarray([1, 0, 3, 2, 0, 4])
+    flips = np.asarray([0, 1, 0, 1, 1, 0])
+
+    norm_d, raw_d = native_loader.load_batch(paths, resize=40, crop=32,
+                                             xs=xs, ys=ys, flips=flips)
+    cache = native_loader.DecodedFrameCache(budget_mb=64)
+    norm_c, raw_c = cache.load_batch(paths, resize=40, crop=32,
+                                     xs=xs, ys=ys, flips=flips)
+    assert cache.misses == 6 and cache.hits == 0
+    # uint8 rounding of the resized frame is the ONLY difference
+    assert np.abs(raw_c - raw_d).max() <= 0.5 + 1e-5
+    assert np.abs(norm_c - norm_d).max() <= (0.5 / 255.0) / 0.224 + 1e-5
+    # raw values are exactly the rounded direct values (C++ rounds
+    # half-up; numpy's round is half-to-even, hence floor(v + .5))
+    np.testing.assert_array_equal(raw_c, np.floor(raw_d + 0.5))
+
+    # replay with different aug (epoch 2): all hits, same geometry rules
+    xs2 = np.asarray([5, 0, 1, 3, 2, 4])
+    norm_c2, raw_c2 = cache.load_batch(paths, resize=40, crop=32,
+                                       xs=xs2, ys=ys, flips=flips)
+    assert cache.hits == 6
+    _, raw_d2 = native_loader.load_batch(paths, resize=40, crop=32,
+                                         xs=xs2, ys=ys, flips=flips)
+    np.testing.assert_array_equal(raw_c2, np.floor(raw_d2 + 0.5))
+
+    # LRU budget: a tiny cache holds at most the current batch
+    small = native_loader.DecodedFrameCache(budget_mb=0)
+    small.budget = 2 * 40 * 40 * 3  # two frames
+    small.load_batch(paths, resize=40, crop=32, xs=xs, ys=ys, flips=flips)
+    assert len(small.frames) == 6  # never evicts the in-flight batch
+    small.load_batch(paths[:2], resize=40, crop=32, xs=xs[:2], ys=ys[:2],
+                     flips=flips[:2])
+    assert small.bytes <= max(small.budget, 2 * 40 * 40 * 3)
+    assert len(small.frames) == 2
+
+
 def test_crash_resume_restores_state_and_meters(synth, tmp_path_factory):
     """Kill-and-restart: a fresh Trainer resumes from the rolling
     checkpoint with epoch, ELB t, meters and best snapshots intact
