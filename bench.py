@@ -457,6 +457,12 @@ def main() -> None:
         train_lmk512_b64 = bench_train_step(crf_impl="landmarks",
                                             n_landmarks=512, batch_size=64)
         print(json.dumps(train_lmk512_b64))
+        # bs128: the fused Pallas landmark filter never materializes the
+        # (B, P, M) block, so the big-batch point is HBM-feasible
+        train_lmk512_b128 = bench_train_step(crf_impl="landmarks",
+                                             n_landmarks=512,
+                                             batch_size=128)
+        print(json.dumps(train_lmk512_b128))
         # earlier validated downscale recipe: CRF at scale 0.5, lambda x16
         # (grad cosine .978, identical final MaxBoxAcc — PARITY.md)
         train_05 = bench_train_step(crf_scale=0.5, crf_lambda=3.2e-8)
@@ -478,6 +484,9 @@ def main() -> None:
                  "train_lmk512_bs64_frames_per_sec_chip":
                      train_lmk512_b64["value"],
                  "train_lmk512_bs64_mfu": train_lmk512_b64["mfu"],
+                 "train_lmk512_bs128_frames_per_sec_chip":
+                     train_lmk512_b128["value"],
+                 "train_lmk512_bs128_mfu": train_lmk512_b128["mfu"],
                  "train_scale05_frames_per_sec_chip": train_05["value"],
                  "train_scale05_ms_per_step": train_05["ms_per_step"],
                  "pipeline_train_frames_per_sec_chip": pipe_train["value"],

@@ -254,6 +254,30 @@ def _use_pallas(n_pixels: int) -> bool:
             and n_pixels <= _PALLAS_MAX_PIXELS)
 
 
+_PALLAS_LMK_OK: Optional[bool] = None
+
+
+def _pallas_landmarks_ok() -> bool:
+    """One-time tiny-shape compile probe of the fused landmark kernel.
+    Mosaic lowering differs across TPU generations; a compile failure
+    here must degrade to the XLA landmark path, never take down a
+    training run (probe is outside the caller's jit, so the exception
+    is catchable)."""
+    global _PALLAS_LMK_OK
+    if _PALLAS_LMK_OK is None:
+        try:
+            from tcam_wsol_video_tpu.ops.pallas.landmarks import \
+                nystrom_filter_pallas
+            import numpy as _np
+            f = jnp.zeros((1, 1024, 5), jnp.float32)
+            v = jnp.zeros((1, 1024, 2), jnp.float32)
+            _np.asarray(nystrom_filter_pallas(f, v, jnp.arange(128)))
+            _PALLAS_LMK_OK = True
+        except Exception:  # pragma: no cover - hardware dependent
+            _PALLAS_LMK_OK = False
+    return _PALLAS_LMK_OK
+
+
 def bilateral_filter_batch(images: jax.Array, segs: jax.Array,
                            sigma_rgb: float, sigma_xy: Optional[float],
                            row_block: int = 1024,
@@ -290,7 +314,15 @@ def bilateral_filter_batch(images: jax.Array, segs: jax.Array,
         )(images)                                          # (B, P, D)
         feats = feats - jnp.mean(feats, axis=1, keepdims=True)
         vals = segs.reshape(b, h * w, k).astype(jnp.float32)
-        out = gaussian_filter_apply_landmarks(feats, vals, idx)
+        if _use_pallas(h * w) and k <= 8 and _pallas_landmarks_ok():
+            # fused two-pass kernel: the (B, P, M) K_nm block never
+            # touches HBM (ops/pallas/landmarks.py) — the exp recompute
+            # beats the 6.6 GB write+2x read it replaces
+            from tcam_wsol_video_tpu.ops.pallas.landmarks import \
+                nystrom_filter_pallas
+            out = nystrom_filter_pallas(feats, vals, idx)
+        else:
+            out = gaussian_filter_apply_landmarks(feats, vals, idx)
         return out.reshape(b, h, w, k)
 
     if method == "rff":

@@ -344,3 +344,32 @@ def test_pallas_batched_bilateral_matches_xla(rng):
     got = np.asarray(gaussian_filter_apply_pallas_batched(
         feats, jnp.asarray(segs), interpret=True))
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_pallas_landmark_filter_matches_xla_path(rng):
+    """The fused two-pass Pallas landmark kernel (ops/pallas/landmarks:
+    K_nm never materialized in HBM) must match the XLA landmark path to
+    fp32 accumulation noise, including non-128-aligned landmark counts
+    (the uniform grid gives 506 for a 512 request) via far-away padding
+    landmarks whose kernel column is exactly zero."""
+    import jax
+    from tcam_wsol_video_tpu.ops import crf
+    from tcam_wsol_video_tpu.ops.pallas.landmarks import \
+        nystrom_filter_pallas
+
+    b, h, w, k = 2, 24, 24, 2
+    imgs = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    segs = rng.random((b, h, w, k)).astype(np.float32)
+    feats = jax.vmap(
+        lambda im: crf.make_bilateral_features(im, 15.0, 100.0))(
+        jnp.asarray(imgs))
+    feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+    vals = jnp.asarray(segs.reshape(b, h * w, k))
+    for m_req in (128, 512):
+        idx = crf._landmark_grid_indices(h, w, m_req)
+        ref = np.asarray(
+            crf.gaussian_filter_apply_landmarks(feats, vals, idx))
+        got = np.asarray(
+            nystrom_filter_pallas(feats, vals, idx, interpret=True))
+        err = (np.linalg.norm(got - ref) / np.linalg.norm(ref))
+        assert err < 1e-5, (m_req, err)
