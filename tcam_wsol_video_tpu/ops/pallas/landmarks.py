@@ -149,8 +149,13 @@ def nystrom_filter_pallas(feats: jax.Array, vals: jax.Array,
         interpret=interpret,
     )(featsT, sq, fmT, sqm, valsT)
 
-    # ---- (M, M) ridge-Cholesky solve in XLA (tiny next to the passes)
-    from jax.scipy.linalg import cho_factor, cho_solve
+    # ---- (M, M) ridge-Cholesky solve between the passes.  The
+    # lockstep blocked solver replaces lapack-style per-matrix custom
+    # calls (latency-serialized across the batch, ~9 ms of the round-3
+    # step trace) with batch-vectorized masked recursions + MXU block
+    # matmuls (ops/linalg.py); M is already 128-padded here.
+    from tcam_wsol_video_tpu.ops.linalg import \
+        batched_block_cholesky_solve
     d2m = (jnp.sum(fm * fm, -1)[..., :, None]
            + jnp.sum(fm * fm, -1)[..., None, :]
            - 2.0 * jnp.einsum("bmd,bnd->bmn", fm, fm,
@@ -158,8 +163,7 @@ def nystrom_filter_pallas(feats: jax.Array, vals: jax.Array,
                               preferred_element_type=jnp.float32))
     kmm = jnp.exp(-0.5 * jnp.maximum(d2m, 0.0))
     kmm = kmm + jnp.float32(ridge) * jnp.eye(m, dtype=jnp.float32)
-    alpha = jax.vmap(
-        lambda kk, bb: cho_solve(cho_factor(kk), bb))(kmm, rhs)
+    alpha = batched_block_cholesky_solve(kmm, rhs)
     alphaT = jnp.swapaxes(alpha, 1, 2)                       # (B, K_PAD, M)
 
     # ---- pass 2: out = K_nm alpha --------------------------- (B, P, K)

@@ -373,3 +373,39 @@ def test_pallas_landmark_filter_matches_xla_path(rng):
             nystrom_filter_pallas(feats, vals, idx, interpret=True))
         err = (np.linalg.norm(got - ref) / np.linalg.norm(ref))
         assert err < 1e-5, (m_req, err)
+
+
+def test_batched_block_cholesky_solve_matches_numpy(rng):
+    """Lockstep blocked Cholesky (ops/linalg.py — batch-vectorized
+    masked recursions replacing per-matrix lapack custom calls) vs
+    float64 numpy solves, incl. a kernel-matrix system with the
+    production ridge and a block all-ones degenerate corner (the
+    Pallas landmark path's padding block)."""
+    from tcam_wsol_video_tpu.ops.linalg import batched_block_cholesky_solve
+
+    for g, m, k in [(3, 128, 2), (2, 256, 2), (2, 512, 8)]:
+        x = rng.standard_normal((g, m, m)).astype(np.float32)
+        a = (x @ x.transpose(0, 2, 1)) / m \
+            + 0.01 * np.eye(m, dtype=np.float32)
+        b = rng.standard_normal((g, m, k)).astype(np.float32)
+        got = np.asarray(batched_block_cholesky_solve(jnp.asarray(a),
+                                                      jnp.asarray(b)))
+        want = np.stack([np.linalg.solve(a[i].astype(np.float64), b[i])
+                         for i in range(g)])
+        err = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert err < 5e-4, (m, err)
+
+    # ridge-regularized Gaussian kernel system + an all-ones pad block
+    f = rng.random((2, 384, 5)).astype(np.float32) * 3
+    f[:, 256:] = 1e3  # identical "pad landmarks"
+    d2 = ((f[:, :, None, :] - f[:, None, :, :]) ** 2).sum(-1)
+    kmm = np.exp(-0.5 * d2).astype(np.float32) \
+        + 0.01 * np.eye(384, dtype=np.float32)
+    b = rng.random((2, 384, 2)).astype(np.float32)
+    b[:, 256:] = 0.0
+    got = np.asarray(batched_block_cholesky_solve(jnp.asarray(kmm),
+                                                  jnp.asarray(b)))
+    want = np.stack([np.linalg.solve(kmm[i].astype(np.float64), b[i])
+                     for i in range(2)])
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 2e-3, err
