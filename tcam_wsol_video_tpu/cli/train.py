@@ -75,7 +75,8 @@ def build_data(args: HParams, kc: KeyChain):
                               num_shards=jax.process_count(),
                               shard_index=jax.process_index(),
                               compact=(args.h2d_transfer == "uint8"),
-                            decode_cache_mb=getattr(args, "decode_cache_mb", 0))
+                              decode_cache_mb=getattr(
+                                  args, "decode_cache_mb", 0))
 
     eval_pipes = {}
     for split in (constants.VALIDSET, constants.TESTSET):

@@ -130,28 +130,32 @@ class DecodedFrameCache:
         """Drop-in replacement for module-level load_batch."""
         assert available(), "native loader unavailable"
         n = len(paths)
-        miss_idx = []
-        for i, p in enumerate(paths):
+        # dedupe misses: the same frame can appear twice in one batch
+        # (temporal knn clamps at shot boundaries) — decode it once and
+        # count its bytes once, or self.bytes drifts up and over-evicts
+        missing: List[str] = []
+        seen = set()
+        for p in paths:
             k = (p, resize)
             if k in self.frames:
                 self.frames.move_to_end(k)
                 self.hits += 1
-            else:
-                miss_idx.append(i)
+            elif p not in seen:
+                seen.add(p)
+                missing.append(p)
                 self.misses += 1
-        if miss_idx:
-            c_paths = (ctypes.c_char_p * len(miss_idx))(
-                *[paths[i].encode() for i in miss_idx])
-            buf = np.empty((len(miss_idx), resize, resize, 3), np.uint8)
+        if missing:
+            c_paths = (ctypes.c_char_p * len(missing))(
+                *[p.encode() for p in missing])
+            buf = np.empty((len(missing), resize, resize, 3), np.uint8)
             rc = _lib.decode_resize_batch(
-                c_paths, len(miss_idx), resize, resize,
+                c_paths, len(missing), resize, resize,
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
             if rc != 0:
-                raise IOError(
-                    f"failed to decode {paths[miss_idx[rc - 1]]}")
-            for j, i in enumerate(miss_idx):
+                raise IOError(f"failed to decode {missing[rc - 1]}")
+            for j, p in enumerate(missing):
                 frame = buf[j].copy()
-                self.frames[(paths[i], resize)] = frame
+                self.frames[(p, resize)] = frame
                 self.bytes += frame.nbytes
         # LRU eviction — but never below the in-flight batch (every
         # current key was just touched, so it sits at the MRU end)
