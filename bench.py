@@ -149,7 +149,7 @@ def bench_train_step(crf_scale: float = 1.0,
         train_step, state, batch_d, switches, jax.random.PRNGKey(2), seed_w)
     mfu = step_flops / (dt / iters) / peak_bf16_flops()
 
-    return {
+    out = {
         "metric": "TCAM(ResNet-50+UnetTCAM) train frames/sec/chip "
                   f"(sl+{tag}+sizes) @{crop}px bs{batch}",
         "value": round(fps, 2),
@@ -159,6 +159,16 @@ def bench_train_step(crf_scale: float = 1.0,
         "tflops_per_step": round(step_flops / 1e12, 3),
         "mfu": round(mfu, 4),
     }
+    if crf_impl == "landmarks":
+        # the fused Pallas landmark filter is probe-gated (crf.
+        # _pallas_landmarks_ok): record which backend THIS line actually
+        # measured so a silent XLA fallback on an unexpected TPU
+        # generation stays interpretable in the bench artifact
+        from tcam_wsol_video_tpu.ops import crf as _crf
+        crf_px = int((crop * args.crf_tc_scale) ** 2)
+        fused = (_crf._use_pallas(crf_px) and _crf._pallas_landmarks_ok())
+        out["crf_backend"] = "pallas-fused" if fused else "xla"
+    return out
 
 
 def _bench_synth_root(n_shots: int = 256) -> dict:
