@@ -165,8 +165,13 @@ def bench_train_step(crf_scale: float = 1.0,
         # measured so a silent XLA fallback on an unexpected TPU
         # generation stays interpretable in the bench artifact
         from tcam_wsol_video_tpu.ops import crf as _crf
-        crf_px = int((crop * args.crf_tc_scale) ** 2)
-        fused = (_crf._use_pallas(crf_px) and _crf._pallas_landmarks_ok())
+        # mirror dense_crf_loss's scaled geometry exactly (crf.py:407-409
+        # floors each AXIS, not the product) and the full filter gate
+        sc = args.crf_tc_scale
+        crf_px = ((int(crop * sc) ** 2) if sc != 1.0 else crop * crop)
+        # (k = 2 fg/bg channels here, always within the kernel's K_PAD)
+        fused = (_crf._use_pallas(crf_px)
+                 and _crf._pallas_landmarks_ok(crf_px, n_landmarks))
         out["crf_backend"] = "pallas-fused" if fused else "xla"
     return out
 
@@ -340,6 +345,7 @@ def bench_pipeline_train() -> "Tuple[dict, Any]":
                crf_tc=True, crf_tc_lambda=2e-9, crf_impl="landmarks",
                max_sizepos_tc=True, max_sizepos_tc_lambda=0.01,
                num_workers=2, checkpoint_save=0, log_every=0,
+               decode_cache_mb=512,
                outd="/tmp/tcam_bench_exps")
     args = finalize(HParams(cfg))
     ds = WSOLVideoDataset(

@@ -34,10 +34,12 @@ EOF
 # mini-val (20 ids/class) keeps per-epoch validation tractable; the
 # final test eval runs the FULL exact protocol on all 1600 test frames.
 # h2d_transfer=uint8 is the production H2D posture (one uint8 pixel
-# tensor per batch, normalize on device — PARITY.md round-3).
+# tensor per batch, normalize on device — PARITY.md round-3);
+# decode_cache_mb=768 covers this set's ~3200 train + 1600 eval frames
+# so epochs >= 2 replay decode from RAM (round-4).
 COMMON="--dataset YouTube-Objects-v1.0 --data_root $ROOT \
   --metadata_root $ROOT/folds --crop_size 224 --resize_size 256 \
-  --h2d_transfer uint8 --num_workers 4"
+  --h2d_transfer uint8 --decode_cache_mb 768 --num_workers 4"
 TAG=YouTube-Objects-v1.0-resnet50-CAM-WGAP-cp_best_localization-boxv2_True
 
 # ---- stage 1: STD_CL classifier (reference README.md:229-266)

@@ -137,14 +137,32 @@ int load_batch(const char** paths, int n, int resize_h, int resize_w,
 #pragma omp parallel for schedule(dynamic)
 #endif
   for (int i = 0; i < n; ++i) {
-    if (failed) continue;
+    // early-exit read of the shared flag must be atomic: a plain read
+    // racing the critical-section write is UB (the write itself stays
+    // in the critical, whose implied flush pairs with this)
+    int failed_snapshot;
+#ifdef _OPENMP
+#pragma omp atomic read
+#endif
+    failed_snapshot = failed;
+    if (failed_snapshot) continue;
     std::vector<unsigned char> rgb;
     int w = 0, h = 0;
     if (!decode_jpeg(paths[i], rgb, w, h)) {
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-      { if (!failed) failed = i + 1; }
+      {
+        // critical serializes writers; the atomic write pairs with the
+        // atomic early-exit reads above (OpenMP requires ALL racing
+        // accesses of a location to be atomic)
+        if (!failed) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+          failed = i + 1;
+        }
+      }
       continue;
     }
     std::vector<float> resized(static_cast<size_t>(resize_h) * resize_w * 3);
@@ -179,14 +197,32 @@ int decode_resize_batch(const char** paths, int n, int resize_h,
 #pragma omp parallel for schedule(dynamic)
 #endif
   for (int i = 0; i < n; ++i) {
-    if (failed) continue;
+    // early-exit read of the shared flag must be atomic: a plain read
+    // racing the critical-section write is UB (the write itself stays
+    // in the critical, whose implied flush pairs with this)
+    int failed_snapshot;
+#ifdef _OPENMP
+#pragma omp atomic read
+#endif
+    failed_snapshot = failed;
+    if (failed_snapshot) continue;
     std::vector<unsigned char> rgb;
     int w = 0, h = 0;
     if (!decode_jpeg(paths[i], rgb, w, h)) {
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-      { if (!failed) failed = i + 1; }
+      {
+        // critical serializes writers; the atomic write pairs with the
+        // atomic early-exit reads above (OpenMP requires ALL racing
+        // accesses of a location to be atomic)
+        if (!failed) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+          failed = i + 1;
+        }
+      }
       continue;
     }
     std::vector<float> resized(static_cast<size_t>(resize_h) * resize_w * 3);

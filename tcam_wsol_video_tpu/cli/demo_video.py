@@ -64,7 +64,8 @@ def main(argv=None):
         kc, crop_size=args.crop_size)
     pipe = DataPipeline(ds, args.eval_batch_size, kc, shuffle=False,
                         num_workers=args.num_workers,
-                        decode_cache_mb=getattr(args, "decode_cache_mb", 0))
+                        # single-pass CLI: zero cache hits by construction
+                        decode_cache_mb=0)
 
     model = create_model_from_args(args)
     c = args.crop_size

@@ -56,7 +56,11 @@ def main(argv=None) -> Dict[str, float]:
                         num_workers=args.num_workers,
                         num_shards=jax.process_count(),
                         shard_index=jax.process_index(),
-                        decode_cache_mb=getattr(args, "decode_cache_mb", 0))
+                        # single-pass CLI: every frame is decoded exactly
+                        # once, so the epoch-persistent cache would cost
+                        # RAM for zero hits — keep it off regardless of
+                        # the (training-oriented) knob
+                        decode_cache_mb=0)
 
     # resolve the checkpoint BEFORE the (slow) model init so a wrong
     # --exp_dir fails in milliseconds, not after a full XLA compile

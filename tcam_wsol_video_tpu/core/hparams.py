@@ -164,11 +164,15 @@ def get_config(dataset: str) -> Dict[str, Any]:
         "h2d_transfer": "float32",
         # epoch-persistent decoded-frame LRU cache budget (MiB) for the
         # native host pipeline: epochs >= 2 replay JPEG decode+resize
-        # from RAM (data/native_loader.DecodedFrameCache).  0 disables.
-        # Size to the touched-frame population for full effect (~192 KiB
-        # per 256px frame); eval splits hit 100% once warm at any budget
-        # >= the split's size.
-        "decode_cache_mb": 512,
+        # from RAM (data/native_loader.DecodedFrameCache).  OPT-IN
+        # (0 = off): cached frames are uint8-rounded post-resize
+        # (<= 0.5/255 per pixel — the same grid h2d_transfer=uint8 and
+        # the reference's own PIL uint8 resize quantize to), so enabling
+        # it changes default-float32 runs at the last bit; production
+        # recipes pin 512 alongside h2d_transfer=uint8.  Size to the
+        # touched-frame population (~192 KiB per 256px frame); eval
+        # splits hit 100% once warm at any budget >= the split's size.
+        "decode_cache_mb": 0,
 
         # pooling-head hyperparameters
         "lse_r": 10.0,

@@ -132,7 +132,11 @@ class DecodedFrameCache:
         n = len(paths)
         # dedupe misses: the same frame can appear twice in one batch
         # (temporal knn clamps at shot boundaries) — decode it once and
-        # count its bytes once, or self.bytes drifts up and over-evicts
+        # count its bytes once, or self.bytes drifts up and over-evicts.
+        # hits/misses count FRAMES SERVED (hits+misses == total frames
+        # through the cache, so hit_rate is a true served-from-RAM
+        # fraction): a duplicate of a cold frame is a miss too — at its
+        # lookup the key is still absent.
         missing: List[str] = []
         seen = set()
         for p in paths:
@@ -140,10 +144,11 @@ class DecodedFrameCache:
             if k in self.frames:
                 self.frames.move_to_end(k)
                 self.hits += 1
-            elif p not in seen:
-                seen.add(p)
-                missing.append(p)
+            else:
                 self.misses += 1
+                if p not in seen:
+                    seen.add(p)
+                    missing.append(p)
         if missing:
             c_paths = (ctypes.c_char_p * len(missing))(
                 *[p.encode() for p in missing])

@@ -28,7 +28,7 @@ oracle (they share `_row_block`).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -254,28 +254,36 @@ def _use_pallas(n_pixels: int) -> bool:
             and n_pixels <= _PALLAS_MAX_PIXELS)
 
 
-_PALLAS_LMK_OK: Optional[bool] = None
+_PALLAS_LMK_OK: Dict[Tuple[int, int], bool] = {}
 
 
-def _pallas_landmarks_ok() -> bool:
-    """One-time tiny-shape compile probe of the fused landmark kernel.
-    Mosaic lowering differs across TPU generations; a compile failure
-    here must degrade to the XLA landmark path, never take down a
-    training run (probe is outside the caller's jit, so the exception
-    is catchable)."""
-    global _PALLAS_LMK_OK
-    if _PALLAS_LMK_OK is None:
+def _pallas_landmarks_ok(n_pixels: int, n_landmarks: int) -> bool:
+    """Compile probe of the fused landmark kernel AT THE PADDED GEOMETRY
+    of the impending call.  Mosaic lowering differs across TPU
+    generations, and a tiny-shape probe could pass while the production
+    tile set (full (D_PAD, p_pad) blocks + the (P_TILE, M) weight tile)
+    exceeds VMEM — which would then raise inside the caller's jit,
+    exactly the crash the gate exists to prevent.  b=1 suffices: the
+    grid is over B, so per-step VMEM is batch-independent.  Memoized
+    per padded shape; the probe runs outside the caller's jit so a
+    compile failure degrades to the XLA landmark path, and its
+    standalone executable lands in the persistent compile cache."""
+    from tcam_wsol_video_tpu.ops.pallas.landmarks import (P_TILE,
+                                                          _round_up)
+    key = (_round_up(n_pixels, P_TILE), _round_up(n_landmarks, 128))
+    if key not in _PALLAS_LMK_OK:
         try:
             from tcam_wsol_video_tpu.ops.pallas.landmarks import \
                 nystrom_filter_pallas
             import numpy as _np
-            f = jnp.zeros((1, 1024, 5), jnp.float32)
-            v = jnp.zeros((1, 1024, 2), jnp.float32)
-            _np.asarray(nystrom_filter_pallas(f, v, jnp.arange(128)))
-            _PALLAS_LMK_OK = True
+            f = jnp.zeros((1, n_pixels, 5), jnp.float32)
+            v = jnp.zeros((1, n_pixels, 2), jnp.float32)
+            idx = jnp.zeros((n_landmarks,), jnp.int32)
+            _np.asarray(nystrom_filter_pallas(f, v, idx))
+            _PALLAS_LMK_OK[key] = True
         except Exception:  # pragma: no cover - hardware dependent
-            _PALLAS_LMK_OK = False
-    return _PALLAS_LMK_OK
+            _PALLAS_LMK_OK[key] = False
+    return _PALLAS_LMK_OK[key]
 
 
 def bilateral_filter_batch(images: jax.Array, segs: jax.Array,
@@ -314,7 +322,8 @@ def bilateral_filter_batch(images: jax.Array, segs: jax.Array,
         )(images)                                          # (B, P, D)
         feats = feats - jnp.mean(feats, axis=1, keepdims=True)
         vals = segs.reshape(b, h * w, k).astype(jnp.float32)
-        if _use_pallas(h * w) and k <= 8 and _pallas_landmarks_ok():
+        if (_use_pallas(h * w) and k <= 8
+                and _pallas_landmarks_ok(h * w, int(idx.shape[0]))):
             # fused two-pass kernel: the (B, P, M) K_nm block never
             # touches HBM (ops/pallas/landmarks.py) — the exp recompute
             # beats the 6.6 GB write+2x read it replaces

@@ -249,12 +249,13 @@ def test_decoded_frame_cache_matches_direct_load(synth):
     np.testing.assert_array_equal(raw_c2, np.floor(raw_d2 + 0.5))
 
     # duplicate paths in one batch (temporal knn clamps at shot
-    # boundaries): decoded once, bytes counted once
+    # boundaries): decoded once, bytes counted once; hits+misses counts
+    # frames SERVED, so the cold duplicate is a miss too
     dup = native_loader.DecodedFrameCache(budget_mb=64)
     dpaths = [paths[0], paths[1], paths[0]]
     dn, dr = dup.load_batch(dpaths, resize=40, crop=32, xs=xs[:3],
                             ys=ys[:3], flips=flips[:3])
-    assert dup.misses == 2 and len(dup.frames) == 2
+    assert dup.misses == 3 and dup.hits == 0 and len(dup.frames) == 2
     assert dup.bytes == sum(f.nbytes for f in dup.frames.values())
     np.testing.assert_array_equal(dr[0], np.floor(raw_d[0] + 0.5))
 
