@@ -375,6 +375,26 @@ def test_pallas_landmark_filter_matches_xla_path(rng):
         assert err < 1e-5, (m_req, err)
 
 
+def test_pallas_landmark_probe_degrades_not_raises():
+    """The fused kernel is probe-gated at the PADDED geometry of the
+    impending call (crf._pallas_landmarks_ok): where Mosaic lowering is
+    unavailable (here: CPU backend) the probe must return False and
+    memoize — never raise — so production degrades to the XLA landmark
+    path instead of crashing inside the caller's jit."""
+    from tcam_wsol_video_tpu.ops import crf
+    from tcam_wsol_video_tpu.ops.pallas.landmarks import P_TILE
+
+    saved = dict(crf._PALLAS_LMK_OK)
+    try:
+        crf._PALLAS_LMK_OK.clear()
+        assert crf._pallas_landmarks_ok(2000, 130) is False
+        # memoized under the padded key (P_TILE / 128-lane rounding)
+        assert crf._PALLAS_LMK_OK == {(2 * P_TILE, 256): False}
+    finally:
+        crf._PALLAS_LMK_OK.clear()
+        crf._PALLAS_LMK_OK.update(saved)
+
+
 def test_batched_block_cholesky_solve_matches_numpy(rng):
     """Lockstep blocked Cholesky (ops/linalg.py — batch-vectorized
     masked recursions replacing per-matrix lapack custom calls) vs
