@@ -160,19 +160,21 @@ def bench_train_step(crf_scale: float = 1.0,
         "mfu": round(mfu, 4),
     }
     if crf_impl == "landmarks":
-        # the fused Pallas landmark filter is probe-gated (crf.
-        # _pallas_landmarks_ok): record which backend THIS line actually
-        # measured so a silent XLA fallback on an unexpected TPU
-        # generation stays interpretable in the bench artifact
+        # the fused Pallas landmark filter is opt-in + probe-gated
+        # (crf._fused_landmarks_opted_in / _pallas_landmarks_ok): record
+        # which backend THIS line actually measured so the bench
+        # artifact stays interpretable across environments
         from tcam_wsol_video_tpu.ops import crf as _crf
         # mirror dense_crf_loss's scaled geometry exactly (crf.py:407-409
         # floors each AXIS, not the product) and the full filter gate
         sc = args.crf_tc_scale
         crf_px = ((int(crop * sc) ** 2) if sc != 1.0 else crop * crop)
         # (k = 2 fg/bg channels here, always within the kernel's K_PAD)
-        fused = (_crf._use_pallas(crf_px)
+        fused = (_crf._fused_landmarks_opted_in()
+                 and _crf._use_pallas(crf_px)
                  and _crf._pallas_landmarks_ok(crf_px, n_landmarks))
-        out["crf_backend"] = "pallas-fused" if fused else "xla"
+        out["crf_backend"] = ("pallas-fused" if fused
+                              else f"xla-{_crf._lmk_solver_default()}")
     return out
 
 
@@ -473,8 +475,9 @@ def main() -> None:
         train_lmk512_b64 = bench_train_step(crf_impl="landmarks",
                                             n_landmarks=512, batch_size=64)
         print(json.dumps(train_lmk512_b64))
-        # bs128: the fused Pallas landmark filter never materializes the
-        # (B, P, M) block, so the big-batch point is HBM-feasible
+        # bs128: best sustained device point (A/B round 4: MFU 0.371) —
+        # the landmark filter groups at 32, bounding the (G, P, M)
+        # transient regardless of batch
         train_lmk512_b128 = bench_train_step(crf_impl="landmarks",
                                              n_landmarks=512,
                                              batch_size=128)

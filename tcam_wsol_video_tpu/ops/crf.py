@@ -178,11 +178,31 @@ def _kmat_batched(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
 
 
+def _lmk_solver_default() -> str:
+    """Which (M, M) solver the XLA landmark path uses for alpha.
+
+    "cho" = jax.scipy cho_factor/cho_solve (per-matrix custom calls).
+    "lockstep" = ops.linalg.batched_block_cholesky_solve (batch
+    dimension vectorizes through every sequential step).  Measured
+    step-level A/B on a real v5e chip (tools/ab_landmarks.py, round 4):
+    "cho" WINS at every production config — M1024-bs32 100.5 vs 112.7
+    ms/step, M512-bs32 84.3 vs 87.8, M512-bs64 160.4 vs 165.6,
+    M512-bs128 296.4 vs 315.8.  XLA overlaps the per-matrix custom
+    calls with the conv gradients, so the "~9 ms pure latency" the
+    round-3 trace attributed to them was already mostly hidden, while
+    the lockstep's 2*NB masked sequential steps are real VPU work on
+    the critical path.  "cho" is the default; the knob stays for
+    regimes with many more, smaller systems per step."""
+    import os
+    return os.environ.get("TCAM_LMK_SOLVER", "cho")
+
+
 def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
                                     idx: jax.Array,
                                     ridge: float = 1e-2,
                                     group: Optional[int] = None,
-                                    knm_dtype=jnp.float32) -> jax.Array:
+                                    knm_dtype=jnp.float32,
+                                    solver: Optional[str] = None) -> jax.Array:
     """AS ~= K_nm (K_mm + ridge I)^-1 K_mn vals — batched Nystrom filter.
 
     The permutohedral lattice works because a natural image's pixels lie
@@ -218,6 +238,8 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
     from jax.scipy.linalg import cho_factor, cho_solve
     b, p, k = vals.shape
     m = idx.shape[0]
+    if solver is None:
+        solver = _lmk_solver_default()
     if group is None:
         group = min(b, 32)
     ng = -(-b // group)
@@ -235,8 +257,24 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
         kmm = kmm + jnp.float32(ridge) * jnp.eye(m, dtype=jnp.float32)
         rhs = jnp.einsum("gpm,gpk->gmk", knm, v.astype(knm_dtype),
                          preferred_element_type=jnp.float32)
-        alpha = jax.vmap(
-            lambda kk, bb: cho_solve(cho_factor(kk), bb))(kmm, rhs)
+        if solver == "lockstep":
+            from tcam_wsol_video_tpu.ops.linalg import (
+                NB, batched_block_cholesky_solve)
+            # pad M to the block size with identity rows: pad alpha
+            # solves I * x = 0 and slices away exactly
+            mp_ = -(-m // NB) * NB
+            if mp_ != m:
+                kk = jnp.eye(mp_, dtype=jnp.float32)[None].repeat(
+                    kmm.shape[0], 0)
+                kk = kk.at[:, :m, :m].set(kmm)
+                bb = jnp.pad(rhs, ((0, 0), (0, mp_ - m), (0, 0)))
+                alpha = batched_block_cholesky_solve(kk, bb)[:, :m]
+            else:
+                alpha = batched_block_cholesky_solve(kmm, rhs)
+        else:
+            assert solver == "cho", solver
+            alpha = jax.vmap(
+                lambda kk, bb: cho_solve(cho_factor(kk), bb))(kmm, rhs)
         return jnp.einsum("gpm,gmk->gpk", knm, alpha.astype(knm_dtype),
                           preferred_element_type=jnp.float32)
 
@@ -252,6 +290,22 @@ _PALLAS_MAX_PIXELS = 60_000  # VMEM budget: inputs + scratch + (1024,1024) tiles
 def _use_pallas(n_pixels: int) -> bool:
     return (jax.default_backend() == "tpu"
             and n_pixels <= _PALLAS_MAX_PIXELS)
+
+
+def _fused_landmarks_opted_in() -> bool:
+    """The fused two-pass landmark kernel is OPT-IN
+    (TCAM_FUSED_LANDMARKS=1).  Measured step-level A/B on a real v5e
+    chip (tools/ab_landmarks.py, round 4): the fused kernel LOSES to
+    the XLA landmark path at every production config — M512-bs64
+    163.6 vs 159.7 ms/step, M512-bs128 303.1 vs 296.9, M1024-bs32
+    116.5 vs 110.7.  At these shapes the 2x exp recompute (~9 ms/pass
+    on the VPU) costs more than the (G, P, M) HBM round-trip it
+    avoids, and XLA already hides most of that traffic behind conv
+    gradients.  The kernel stays maintained + probe-gated for hardware
+    where the VPU:HBM balance flips (it wins when P*M grows past what
+    HBM can stream, e.g. larger crops or M>=2048)."""
+    import os
+    return os.environ.get("TCAM_FUSED_LANDMARKS", "0") == "1"
 
 
 _PALLAS_LMK_OK: Dict[Tuple[int, int], bool] = {}
@@ -322,11 +376,12 @@ def bilateral_filter_batch(images: jax.Array, segs: jax.Array,
         )(images)                                          # (B, P, D)
         feats = feats - jnp.mean(feats, axis=1, keepdims=True)
         vals = segs.reshape(b, h * w, k).astype(jnp.float32)
-        if (_use_pallas(h * w) and k <= 8
+        if (_fused_landmarks_opted_in() and _use_pallas(h * w)
+                and k <= 8
                 and _pallas_landmarks_ok(h * w, int(idx.shape[0]))):
             # fused two-pass kernel: the (B, P, M) K_nm block never
-            # touches HBM (ops/pallas/landmarks.py) — the exp recompute
-            # beats the 6.6 GB write+2x read it replaces
+            # touches HBM (ops/pallas/landmarks.py); opt-in — see
+            # _fused_landmarks_opted_in for the measured A/B
             from tcam_wsol_video_tpu.ops.pallas.landmarks import \
                 nystrom_filter_pallas
             out = nystrom_filter_pallas(feats, vals, idx)

@@ -20,6 +20,15 @@ Numerics: fp32 throughout; intended for ridge-regularized kernel
 systems (K_mm + 1e-2 I — condition <= ~1e5, comfortably fp32).  For
 general use prefer cho_solve; this is the latency-optimized path for
 many small-to-mid PSD systems inside one jitted step.
+
+Measured (round 4, real v5e, tools/ab_landmarks.py): inside the full
+TCAM train step this LOSES to cho_solve at every production config
+(M1024-bs32 112.7 vs 100.5 ms/step .. M512-bs128 315.8 vs 296.4) —
+XLA already overlaps the per-matrix custom calls with the conv
+gradients, so their serialization was not on the critical path, while
+this kernel's 2*NB-step masked recursions are un-overlappable VPU
+work.  Ships opt-in (TCAM_LMK_SOLVER=lockstep), parity-tested
+(tests/test_ops.py); the default landmark solver is cho_solve.
 """
 from __future__ import annotations
 

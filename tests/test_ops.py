@@ -429,3 +429,30 @@ def test_batched_block_cholesky_solve_matches_numpy(rng):
                      for i in range(2)])
     err = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert err < 2e-3, err
+
+
+def test_landmark_filter_lockstep_solver_matches_cho(rng):
+    """gaussian_filter_apply_landmarks(solver="lockstep") — the
+    batch-vectorized blocked Cholesky inside the XLA landmark path, with
+    identity-padding to the 128 block size for non-aligned landmark
+    counts (the uniform grid gives 506 for a 512 request) — must match
+    the jax.scipy cho_solve path to fp32 solve noise."""
+    import jax
+    from tcam_wsol_video_tpu.ops import crf
+
+    b, h, w, k = 2, 24, 24, 2
+    imgs = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    segs = rng.random((b, h, w, k)).astype(np.float32)
+    feats = jax.vmap(
+        lambda im: crf.make_bilateral_features(im, 15.0, 100.0))(
+        jnp.asarray(imgs))
+    feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+    vals = jnp.asarray(segs.reshape(b, h * w, k))
+    for m_req in (128, 512):  # 512 -> 506 actual: exercises the pad
+        idx = crf._landmark_grid_indices(h, w, m_req)
+        ref = np.asarray(crf.gaussian_filter_apply_landmarks(
+            feats, vals, idx, solver="cho"))
+        got = np.asarray(crf.gaussian_filter_apply_landmarks(
+            feats, vals, idx, solver="lockstep"))
+        err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert err < 2e-5, (m_req, err)

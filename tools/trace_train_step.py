@@ -8,7 +8,9 @@ actually burn the time (conv fwd/bwd kernels, fusions, transposes).
 The trace is parsed from the .trace.json.gz the profiler writes — no
 trace viewer needed.
 
-Usage: python tools/trace_train_step.py [outdir] (default /tmp/tcam_trace)
+Usage: python tools/trace_train_step.py [outdir] [key=value ...]
+(default /tmp/tcam_trace; key=value pairs are hparams overrides for
+build_step, e.g. batch_size=128 crf_n_landmarks=512)
 """
 from __future__ import annotations
 
@@ -28,11 +30,22 @@ import numpy as np
 from tools.profile_train_step import build_step
 
 
+def _parse_val(s: str):
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    return {"true": True, "false": False}.get(s.lower(), s)
+
+
 def main() -> None:
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tcam_trace"
     os.makedirs(outdir, exist_ok=True)
+    overrides = {k: _parse_val(v) for k, v in
+                 (a.split("=", 1) for a in sys.argv[2:])}
 
-    step, state, batch_d, ml, batch = build_step({})
+    step, state, batch_d, ml, batch = build_step(overrides)
     switches = ml.switches(0)
     seed_w = jnp.float32(1.0)
 
