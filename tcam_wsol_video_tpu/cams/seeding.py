@@ -41,34 +41,53 @@ Array = jax.Array
 # CLASS is kept whole where the reference splits it by pixel index —
 # the distributional golden test (test_golden_seeder_dist) covers the
 # unique-value case exactly and bounds the rest.
-_BISECT_ITERS = 24
+_BISECT_ITERS = 8    # multi-probe: (Q+1)^iters = 8^8 = 2^24 of the range
+_BISECT_PROBES = 7   # interior probe points tested per data pass
+
+
+def _bisect_threshold_rows(v: Array, n: Array, lo: Array,
+                           hi: Array, iters: int) -> Array:
+    """Shared multi-probe bisection core: the largest threshold t per
+    row with count(v[r] >= t) >= n[r], to within (hi-lo) * 8^-iters.
+
+    Each pass reads v ONCE and tests _BISECT_PROBES evenly spaced
+    interior points simultaneously (a (R, Q, P) broadcast-compare-reduce
+    XLA fuses into a single sweep), shrinking the bracket 8x per pass
+    instead of 2x — same 2^-24 final precision as 24 classic passes in
+    8 sweeps over HBM (the loop is bandwidth-bound: measured 9.6 ->
+    ~3 ms/step at bs128 recipe scale).  Invariant: count(v >= lo) >= n
+    throughout (lo only ever moves to a probed point that keeps it).
+    """
+    fr = (jnp.arange(1, _BISECT_PROBES + 1, dtype=v.dtype)
+          / (_BISECT_PROBES + 1))
+
+    def body(_, bounds):
+        lo_b, hi_b = bounds
+        mids = lo_b[:, None] + (hi_b - lo_b)[:, None] * fr[None, :]
+        counts = jnp.sum(v[:, None, :] >= mids[:, :, None], axis=-1)
+        keep = counts >= n[:, None]          # monotone True...False in Q
+        lo_n = jnp.max(jnp.where(keep, mids, lo_b[:, None]), axis=1)
+        hi_n = jnp.min(jnp.where(keep, hi_b[:, None], mids), axis=1)
+        return lo_n, hi_n
+
+    lo_b, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo_b
 
 
 def _top_fraction_mask_rows(v: Array, n: Array) -> Array:
     """Row-wise eligibility masks ~= "among the n[r] LARGEST values of
     v[r]" for v: (R, P), n: (R,).  One bisection loop serves every row
-    (sequential depth does not grow with R) — O(R * P) per iteration, no
+    (sequential depth does not grow with R) — O(R * P) per data pass, no
     sort, no scatter (both are serialized on TPU; the reference-style
     batched argsorts alone cost 915 of a 1489 ms train step at 224^2 on
     v5e, and a scatter-add histogram was no better).  The boundary lands
-    within 2^-10 of the range, so the eligible pool can differ from
+    within 2^-24 of the range, so the eligible pool can differ from
     exactly-n by boundary ties — immaterial for seed sampling.
     Select the n smallest by passing -v.
     """
     lo = jnp.min(v, axis=1)
     hi = jnp.max(v, axis=1)
-
-    def body(_, bounds):
-        lo_b, hi_b = bounds
-        mid = 0.5 * (lo_b + hi_b)
-        count = jnp.sum(v >= mid[:, None], axis=1)
-        keep = count >= n  # mid still keeps enough elements
-        # invariant: count(v >= lo_b) >= n; move lo_b up while it holds
-        lo_b = jnp.where(keep, mid, lo_b)
-        hi_b = jnp.where(keep, hi_b, mid)
-        return lo_b, hi_b
-
-    lo_b, _ = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
+    lo_b = _bisect_threshold_rows(v, n, lo, hi, _BISECT_ITERS)
     # the invariant side guarantees at least ~n eligible per row
     return v >= lo_b[:, None]
 
@@ -81,7 +100,7 @@ def _top_fraction_mask(v: Array, n: Array, largest: bool) -> Array:
 
 
 _BISECT_TOPK_THRESHOLD = 32  # k above this: bisection beats argmax rounds
-_BISECT_TOPK_ITERS = 24      # boundary within 2^-24 of the key range
+_BISECT_TOPK_ITERS = 8       # multi-probe: 8^8 = 2^-24 of the key range
 
 
 def _gumbel_topk_bisect_rows(keys_: Array, eligible: Array,
@@ -94,16 +113,7 @@ def _gumbel_topk_bisect_rows(keys_: Array, eligible: Array,
     n = jnp.minimum(k, n_elig)
     lo = jnp.min(jnp.where(eligible, keys_, jnp.inf), axis=1)
     hi = jnp.max(jnp.where(eligible, keys_, -jnp.inf), axis=1)
-
-    def body(_, bounds):
-        lo_b, hi_b = bounds
-        mid = 0.5 * (lo_b + hi_b)
-        keep = jnp.sum(keys_ >= mid[:, None], axis=1) >= n
-        lo_b = jnp.where(keep, mid, lo_b)
-        hi_b = jnp.where(keep, hi_b, mid)
-        return lo_b, hi_b
-
-    lo_b, _ = jax.lax.fori_loop(0, _BISECT_TOPK_ITERS, body, (lo, hi))
+    lo_b = _bisect_threshold_rows(keys_, n, lo, hi, _BISECT_TOPK_ITERS)
     mask = (keys_ >= lo_b[:, None]) & eligible & (n > 0)[:, None]
     return mask.astype(jnp.int32)
 
