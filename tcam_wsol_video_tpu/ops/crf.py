@@ -197,11 +197,31 @@ def _lmk_solver_default() -> str:
     return os.environ.get("TCAM_LMK_SOLVER", "cho")
 
 
+def _lmk_group_default() -> Optional[int]:
+    """Images per lax.map iteration of the landmark filter
+    (TCAM_LMK_GROUP, default None -> min(B, 32)).  Larger groups mean
+    fewer map iterations and fewer Cholesky custom-call dispatches but
+    a bigger (G, P, M) K_nm transient (~6.6 GB fp32 at G=32/224^2/
+    M=1024); pair with TCAM_KNM_DTYPE=bfloat16 to halve it."""
+    import os
+    v = os.environ.get("TCAM_LMK_GROUP", "")
+    return int(v) if v else None
+
+
+def _knm_dtype_default():
+    """Storage dtype of the (G, P, M) K_nm block (TCAM_KNM_DTYPE,
+    default float32).  bfloat16 halves the block's HBM traffic for its
+    two consumer dots; AS relerr is unchanged on natural frames (the
+    kernel entries are smooth in [0, 1])."""
+    import os
+    return jnp.dtype(os.environ.get("TCAM_KNM_DTYPE", "float32"))
+
+
 def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
                                     idx: jax.Array,
                                     ridge: float = 1e-2,
                                     group: Optional[int] = None,
-                                    knm_dtype=jnp.float32,
+                                    knm_dtype=None,
                                     solver: Optional[str] = None) -> jax.Array:
     """AS ~= K_nm (K_mm + ridge I)^-1 K_mn vals — batched Nystrom filter.
 
@@ -240,8 +260,11 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
     m = idx.shape[0]
     if solver is None:
         solver = _lmk_solver_default()
+    if knm_dtype is None:
+        knm_dtype = _knm_dtype_default()
     if group is None:
-        group = min(b, 32)
+        group = _lmk_group_default() or min(b, 32)
+    group = min(group, b)
     ng = -(-b // group)
     pad = ng * group - b
     # zero-pad the batch: padded images have constant features, their

@@ -54,6 +54,8 @@ def build_step(overrides: dict):
                max_sizepos_tc=True, max_sizepos_tc_lambda=0.01)
     cfg.update(overrides)
     args = finalize(HParams(cfg))
+    # honor overridden batch/crop in the actual tensors, not just args
+    batch, crop = args.batch_size, args.crop_size
 
     model = create_model_from_args(args)
     variables = init_model(model, jax.random.PRNGKey(0), (1, crop, crop, 3))

@@ -70,32 +70,60 @@ def main() -> None:
     with gzip.open(files[-1], "rt") as f:
         trace = json.load(f)
 
-    # keep only device-track complete events; aggregate by op name
-    pid_names = {}
+    # The 'XLA Ops' thread carries per-op events annotated with
+    # hlo_category / model_flops / bytes_accessed / long_name (shapes) —
+    # enough for a roofline read without the trace viewer.
+    op_tids = set()
     for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pid_names[ev["pid"]] = ev["args"].get("name", "")
-    device_pids = {p for p, n in pid_names.items()
-                   if "TPU" in n or "/device" in n.lower() or "xla" in n.lower()}
-    tot = defaultdict(float)
-    cnt = defaultdict(int)
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            if ev["args"].get("name") == "XLA Ops":
+                op_tids.add((ev["pid"], ev["tid"]))
+    tot = defaultdict(float)      # by category: us
+    cat_flops = defaultdict(float)
+    cat_bytes = defaultdict(float)
+    op_tot = defaultdict(float)   # by op name: us
+    op_cnt = defaultdict(int)
+    op_meta = {}
     wall = 0.0
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
-        if device_pids and ev.get("pid") not in device_pids:
+        if op_tids and (ev.get("pid"), ev.get("tid")) not in op_tids:
             continue
-        name = ev.get("name", "?")
+        a = ev.get("args", {}) or {}
+        cat = a.get("hlo_category", "?")
         dur = float(ev.get("dur", 0.0))
-        tot[name] += dur
-        cnt[name] += 1
+        fl = float(a.get("model_flops", 0) or 0)
+        by = float(a.get("bytes_accessed", 0) or 0)
+        tot[cat] += dur
+        cat_flops[cat] += fl
+        cat_bytes[cat] += by
+        name = ev.get("name", "?")
+        op_tot[name] += dur
+        op_cnt[name] += 1
+        if name not in op_meta:
+            op_meta[name] = (cat, fl, by, a.get("long_name", "")[:160])
         wall += dur
-    rows = sorted(tot.items(), key=lambda kv: -kv[1])[:40]
-    print(f"{'us_total':>12} {'calls':>6}  op   (device pids: "
-          f"{sorted(device_pids) or 'ALL'})")
-    for name, us in rows:
-        print(f"{us:12.0f} {cnt[name]:6d}  {name[:120]}")
-    print(f"sum of listed events: {wall/1e3:.1f} ms over 8 steps")
+    steps = 8
+    print(f"== by hlo_category ({wall/1e3/steps:.1f} ms/step device op "
+          f"time over {steps} steps) ==")
+    print(f"{'ms/step':>8} {'share':>6} {'TF/s':>6} {'GB/s':>7}  category")
+    for cat, us in sorted(tot.items(), key=lambda kv: -kv[1]):
+        ms = us / 1e3 / steps
+        tfs = cat_flops[cat] / us / 1e6 if us else 0.0  # flops/us -> TF/s
+        gbs = cat_bytes[cat] / us / 1e3 if us else 0.0  # bytes/us -> GB/s
+        print(f"{ms:8.2f} {us/wall*100:5.1f}% {tfs:6.1f} {gbs:7.0f}  {cat}")
+    print("\n== top 30 ops by total device time ==")
+    print(f"{'ms/step':>8} {'calls':>6} {'TF/s':>6} {'GB/s':>7}  op")
+    for name, us in sorted(op_tot.items(), key=lambda kv: -kv[1])[:30]:
+        cat, fl, by, long_name = op_meta[name]
+        n = op_cnt[name]
+        per_call_us = us / n
+        tfs = fl / per_call_us / 1e6 if per_call_us else 0.0
+        gbs = by / per_call_us / 1e3 if per_call_us else 0.0
+        print(f"{us/1e3/steps:8.2f} {n:6d} {tfs:6.1f} {gbs:7.0f}  "
+              f"{name} [{cat}]")
+        print(f"{'':31}{long_name}")
 
 
 if __name__ == "__main__":
