@@ -475,8 +475,9 @@ def main() -> None:
         train_lmk512_b64 = bench_train_step(crf_impl="landmarks",
                                             n_landmarks=512, batch_size=64)
         print(json.dumps(train_lmk512_b64))
-        # bs128: best sustained device point (A/B round 4: MFU 0.371) —
-        # the landmark filter groups at 32, bounding the (G, P, M)
+        # bs128: best sustained device point (round 4: MFU 0.379 with
+        # the multi-probe seeder; bs256 fails memory planning) — the
+        # landmark filter groups at 32, bounding the (G, P, M)
         # transient regardless of batch
         train_lmk512_b128 = bench_train_step(crf_impl="landmarks",
                                              n_landmarks=512,

@@ -217,6 +217,69 @@ def _knm_dtype_default():
     return jnp.dtype(os.environ.get("TCAM_KNM_DTYPE", "float32"))
 
 
+def _lmk_unroll(ng: int) -> bool:
+    """Whether the landmark filter's per-group loop is Python-unrolled
+    into a flat graph (TCAM_LMK_UNROLL=1; default off).  Hypothesis
+    tested in round 4: lax.map lowers to a while loop, and the bs128
+    ablation pinned the filter's marginal at 73.3 ms/step — exactly
+    the traced while-loop total — suggesting the loop serialized
+    against the conv gradients.  Measured A/B (real v5e): unrolling
+    LOSES — bs128 293.6 vs 290.2 ms, bs64 163.3 vs 160.2.  A single
+    TPU core executes ops sequentially either way (there is no
+    compute-compute overlap to unlock), and the flat graph gives up
+    the loop's double-buffered scheduling.  With bf16 K_nm storage
+    also measured neutral, the consistent picture is that the filter
+    is at its compute floor: the 73 ms marginal is VPU d2+exp work,
+    not a scheduling artifact.  Knob kept for cross-generation
+    re-measurement."""
+    import os
+    return os.environ.get("TCAM_LMK_UNROLL", "0") == "1"
+
+
+_PALLAS_KNM_OK: Dict[Tuple[int, int], bool] = {}
+
+
+def _knm_build_pallas(n_pixels: int, n_landmarks: int) -> bool:
+    """Whether the landmark filter builds K_nm with the Pallas build
+    kernel (TCAM_KNM_BUILD: "pallas" = on subject to the compile
+    probe; default "xla" = off).
+
+    Motivation (round-4 bs128 trace): XLA fuses the D=5 distance
+    matmul with the exp into one loop fusion pacing at 1.3 TF/s /
+    182 GB/s — 9.1 ms per group call, 36.5 ms/step at bs128/M512, ~4x
+    the exp+write floor.  build_knm_pallas streams the single exp pass
+    tile-wise; the consumer dots and the Cholesky solve stay in XLA so
+    there is no exp recompute (which is what made the fully-fused
+    kernel lose its A/B).  Measured step-level A/B (real v5e chip,
+    round 4): a WASH — M512-bs128 288.3 vs 290.0 ms (+0.6%), M512-bs64
+    160.1 vs 160.2, M512-bs32 85.5 vs 84.7, M1024-bs32 102.8 vs 101.8.
+    The trace time was mostly NOT on the critical path (XLA overlaps
+    the build's HBM traffic); the kernel ships OPT-IN, probe-gated at
+    the padded geometry so a Mosaic failure degrades to the XLA build,
+    never a crash."""
+    import os
+    mode = os.environ.get("TCAM_KNM_BUILD", "xla")
+    if mode in ("xla", "auto"):
+        return False
+    if mode != "pallas":
+        raise ValueError(f"TCAM_KNM_BUILD={mode!r}")
+    from tcam_wsol_video_tpu.ops.pallas.landmarks import (P_TILE,
+                                                          _round_up)
+    key = (_round_up(n_pixels, P_TILE), _round_up(n_landmarks, 128))
+    if key not in _PALLAS_KNM_OK:
+        try:
+            from tcam_wsol_video_tpu.ops.pallas.landmarks import \
+                build_knm_pallas
+            import numpy as _np
+            f = jnp.zeros((1, n_pixels, 5), jnp.float32)
+            fm = jnp.full((1, key[1], 5), 1e6, jnp.float32)
+            _np.asarray(build_knm_pallas(f, fm)[0, 0, 0])
+            _PALLAS_KNM_OK[key] = True
+        except Exception:  # pragma: no cover - hardware dependent
+            _PALLAS_KNM_OK[key] = False
+    return _PALLAS_KNM_OK[key]
+
+
 def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
                                     idx: jax.Array,
                                     ridge: float = 1e-2,
@@ -272,12 +335,31 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
     f_pad = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
     v_pad = jnp.pad(vals, ((0, pad), (0, 0), (0, 0)))
 
+    pallas_build = _knm_build_pallas(p, m)
+    m_eff = -(-int(m) // 128) * 128 if pallas_build else int(m)
+
     def one_group(fv):
         f, v = fv                                          # (G,P,D),(G,P,K)
         fm = f[:, idx]                                     # (G, M, D)
-        knm = _kmat_batched(f, fm).astype(knm_dtype)       # (G, P, M)
-        kmm = _kmat_batched(fm, fm)                        # (G, M, M)
-        kmm = kmm + jnp.float32(ridge) * jnp.eye(m, dtype=jnp.float32)
+        if pallas_build:
+            # round-4 bs128 trace: XLA fuses the D=5 distance matmul
+            # with the exp into a 1.3 TF/s loop fusion (9.1 ms per
+            # group call).  The Pallas build kernel streams the same
+            # single exp pass tile-wise (ops/pallas/landmarks.py,
+            # build_knm_pallas); consumers and the solve stay in XLA.
+            # M pads to 128 with 1e6-features whose kernel column is 0
+            # and whose alpha solves to 0 against the zero rhs.
+            from tcam_wsol_video_tpu.ops.pallas.landmarks import \
+                build_knm_pallas
+            fmp = jnp.pad(fm, ((0, 0), (0, m_eff - m), (0, 0)),
+                          constant_values=1e6)
+            knm = build_knm_pallas(f, fmp,
+                                   out_dtype=knm_dtype)[:, :p]
+            kmm = _kmat_batched(fmp, fmp)                  # (G, M', M')
+        else:
+            knm = _kmat_batched(f, fm).astype(knm_dtype)   # (G, P, M)
+            kmm = _kmat_batched(fm, fm)                    # (G, M, M)
+        kmm = kmm + jnp.float32(ridge) * jnp.eye(m_eff, dtype=jnp.float32)
         rhs = jnp.einsum("gpm,gpk->gmk", knm, v.astype(knm_dtype),
                          preferred_element_type=jnp.float32)
         if solver == "lockstep":
@@ -285,13 +367,13 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
                 NB, batched_block_cholesky_solve)
             # pad M to the block size with identity rows: pad alpha
             # solves I * x = 0 and slices away exactly
-            mp_ = -(-m // NB) * NB
-            if mp_ != m:
+            mp_ = -(-m_eff // NB) * NB
+            if mp_ != m_eff:
                 kk = jnp.eye(mp_, dtype=jnp.float32)[None].repeat(
                     kmm.shape[0], 0)
-                kk = kk.at[:, :m, :m].set(kmm)
-                bb = jnp.pad(rhs, ((0, 0), (0, mp_ - m), (0, 0)))
-                alpha = batched_block_cholesky_solve(kk, bb)[:, :m]
+                kk = kk.at[:, :m_eff, :m_eff].set(kmm)
+                bb = jnp.pad(rhs, ((0, 0), (0, mp_ - m_eff), (0, 0)))
+                alpha = batched_block_cholesky_solve(kk, bb)[:, :m_eff]
             else:
                 alpha = batched_block_cholesky_solve(kmm, rhs)
         else:
@@ -301,6 +383,20 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
         return jnp.einsum("gpm,gmk->gpk", knm, alpha.astype(knm_dtype),
                           preferred_element_type=jnp.float32)
 
+    if _lmk_unroll(ng):
+        # ng is static: a Python-unrolled loop gives XLA a FLAT graph.
+        # lax.map lowers to a while loop, which is a scheduling
+        # barrier — nothing outside the loop can overlap with it, and
+        # the round-4 bs128 ablation measured the landmark filter's
+        # marginal at 73.3 ms/step, exactly the traced while-loop
+        # total: the filter was serializing against the conv
+        # gradients it shares the step with.  Unrolled, the scheduler
+        # interleaves the group computations with the convs.
+        outs = [one_group((f_pad[i * group:(i + 1) * group],
+                           v_pad[i * group:(i + 1) * group]))
+                for i in range(ng)]
+        out = outs[0] if ng == 1 else jnp.concatenate(outs, axis=0)
+        return out[:b]
     out = lax.map(one_group,
                   (f_pad.reshape(ng, group, p, -1),
                    v_pad.reshape(ng, group, p, k)))

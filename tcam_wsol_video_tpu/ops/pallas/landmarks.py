@@ -183,3 +183,87 @@ def nystrom_filter_pallas(feats: jax.Array, vals: jax.Array,
     )(featsT, sq, fmT, sqm, alphaT)
 
     return jnp.swapaxes(outT, 1, 2)[:, :p, :k]
+
+
+# ---------------------------------------------------------------------
+# Build-only kernel: write K_nm once, leave consumers/solve to XLA.
+#
+# The round-4 bs128 trace showed the XLA K_nm build fusion running at
+# 1.3 TF/s / 182 GB/s (9.1 ms per group call, 36.5 ms/step): XLA fuses
+# the D=5 distance matmul with the exp into one loop fusion whose
+# MXU-hostile K=5 contraction paces everything.  The fully-fused filter
+# above avoids the HBM round-trip but pays the exp TWICE — measured
+# slower at production shapes.  This middle point keeps the single exp
+# pass and the XLA consumer dots, and only replaces the build: distance
+# via one small D_PAD-contraction per tile + exp + tile write, streamed
+# through VMEM with double-buffered output DMA.
+# ---------------------------------------------------------------------
+
+
+def _build_kernel(featsT_ref, sq_ref, fmT_ref, sqm_ref, out_ref):
+    """K_nm tile for this grid step: out (1, P_TILE, M)."""
+    fm = fmT_ref[0]                                           # (D, M)
+    sqm = sqm_ref[0]                                          # (1, M)
+    f_rows = featsT_ref[0]                                    # (D, Pt)
+    sq_rows = sq_ref[0]                                       # (1, Pt)
+    dots = lax.dot_general(
+        f_rows, fm, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)                      # (Pt, M)
+    d2 = jnp.transpose(sq_rows) + sqm - 2.0 * dots
+    out_ref[0, :, :] = jnp.exp(
+        -0.5 * jnp.maximum(d2, 0.0)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def build_knm_pallas(feats: jax.Array, fm: jax.Array,
+                     out_dtype=jnp.float32,
+                     interpret: bool = False) -> jax.Array:
+    """K_nm = exp(-||f_p - f_m||^2 / 2): feats (B, P, D<=8) CENTERED,
+    fm (B, M, D) landmark features with M a multiple of 128 (callers
+    pad with 1e6 features whose kernel column is exactly 0)
+    -> (B, P_pad, M) in `out_dtype`, P_pad = P rounded up to the tile.
+
+    Pad PIXELS also sit at 1e6, so pad-pixel x real-landmark entries
+    are exactly 0 (pad-pixel x pad-landmark entries are 1.0 — harmless:
+    pad landmarks solve to alpha == 0 against zero-padded vals, and
+    callers slice pad pixels away).  At 224^2 (P = 49 * P_TILE) there
+    is no pixel padding and the caller's slice is a no-op.
+    """
+    b, p, d = feats.shape
+    m = int(fm.shape[1])
+    assert d <= D_PAD, d
+    assert m % 128 == 0, m
+    p_pad = _round_up(p, P_TILE)
+    n_tiles = p_pad // P_TILE
+
+    featsT = jnp.zeros((b, D_PAD, p_pad), jnp.float32)
+    featsT = featsT.at[:, :d, :p].set(jnp.swapaxes(feats, 1, 2))
+    featsT = featsT.at[:, 0, p:].set(1e6)
+    sq = jnp.sum(featsT * featsT, axis=1, keepdims=True)      # (B, 1, P')
+    fmT = jnp.zeros((b, D_PAD, m), jnp.float32)
+    fmT = fmT.at[:, :d, :].set(jnp.swapaxes(fm, 1, 2))
+    sqm = jnp.sum(fmT * fmT, axis=1, keepdims=True)           # (B, 1, M)
+
+    return pl.pallas_call(
+        _build_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, m), out_dtype),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, D_PAD, P_TILE), lambda g, t: (g, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P_TILE), lambda g, t: (g, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_PAD, m), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda g, t: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P_TILE, m), lambda g, t: (g, t, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p_pad * m * D_PAD,
+            transcendentals=b * p_pad * m,
+            bytes_accessed=b * p_pad * m * jnp.dtype(out_dtype).itemsize),
+        interpret=interpret,
+    )(featsT, sq, fmT, sqm)

@@ -456,3 +456,75 @@ def test_landmark_filter_lockstep_solver_matches_cho(rng):
             feats, vals, idx, solver="lockstep"))
         err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         assert err < 2e-5, (m_req, err)
+
+
+def test_landmark_filter_group_and_knm_dtype_knobs(rng):
+    """The landmark filter's batching knobs are numerics-neutral where
+    they must be (to fp32 solve noise): `group` (images per lax.map iteration — at bs128 the
+    default group=32 leaves a 4-iteration while loop that the round-4
+    trace pinned at 73.5 ms/step of serialized, un-overlappable device
+    time; group=B makes the filter one map-free batched call) changes
+    NOTHING about the math, so any grouping must match group=B to fp32
+    accumulation noise.  `knm_dtype=bfloat16` stores the (G, P, M)
+    K_nm block at half width for its two consumer dots (fp32
+    accumulation via preferred_element_type) — bounded-error, not
+    exact: assert AS relerr vs the fp32 path stays under 1e-2 on
+    CAM-like inputs (the kernel entries are smooth in [0, 1])."""
+    import jax
+    from tcam_wsol_video_tpu.ops import crf
+
+    b, h, w, k = 5, 24, 24, 2  # 5: exercises the pad leg of group=2
+    imgs = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    segs = rng.random((b, h, w, k)).astype(np.float32)
+    feats = jax.vmap(
+        lambda im: crf.make_bilateral_features(im, 15.0, 100.0))(
+        jnp.asarray(imgs))
+    feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+    vals = jnp.asarray(segs.reshape(b, h * w, k))
+    idx = crf._landmark_grid_indices(h, w, 128)
+    ref = np.asarray(crf.gaussian_filter_apply_landmarks(
+        feats, vals, idx, group=b))
+    for group in (1, 2, 3):
+        got = np.asarray(crf.gaussian_filter_apply_landmarks(
+            feats, vals, idx, group=group))
+        err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert err < 1e-5, (group, err)
+    bf16 = np.asarray(crf.gaussian_filter_apply_landmarks(
+        feats, vals, idx, group=b, knm_dtype=jnp.bfloat16))
+    err = np.linalg.norm(bf16 - ref) / np.linalg.norm(ref)
+    assert err < 1e-2, err
+
+
+def test_build_knm_pallas_matches_kmat(rng):
+    """The build-only Pallas kernel (round-4: replaces the 1.3 TF/s
+    XLA distance+exp fusion that paced the bs128 landmark filter) must
+    reproduce _kmat_batched on real landmarks, write exact-zero
+    columns for 1e6-padded landmarks, and zero rows for padded pixels;
+    and the full landmark filter must be invariant to TCAM_KNM_BUILD
+    on a geometry where the probe passes (interpret mode here — the
+    device probe is exercised by the TPU benches)."""
+    import jax
+    from tcam_wsol_video_tpu.ops import crf
+    from tcam_wsol_video_tpu.ops.pallas.landmarks import build_knm_pallas
+
+    b, h, w = 2, 24, 24  # p=576 -> p_pad=1024: exercises pixel padding
+    p = h * w
+    imgs = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    feats = jax.vmap(
+        lambda im: crf.make_bilateral_features(im, 15.0, 100.0))(
+        jnp.asarray(imgs))
+    feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+    idx = crf._landmark_grid_indices(h, w, 128)
+    m = int(idx.shape[0])
+    fm = feats[:, idx]
+    m_pad = -(-m // 128) * 128
+    fmp = jnp.pad(fm, ((0, 0), (0, m_pad - m), (0, 0)),
+                  constant_values=1e6)
+    got = np.asarray(build_knm_pallas(feats, fmp, interpret=True))
+    ref = np.asarray(crf._kmat_batched(feats, fm))
+    # atol 1e-4: fp32 cancellation noise in d2 = sq + sqm - 2 dot (the
+    # two paths round the same math differently); kernel entries are in
+    # [0, 1] and the filter's AS budget is ~1e-3
+    np.testing.assert_allclose(got[:, :p, :m], ref, rtol=0, atol=1e-4)
+    assert np.all(got[:, :p, m:] == 0.0)   # pad-landmark columns
+    assert np.all(got[:, p:, :m] == 0.0)   # pad-pixel rows

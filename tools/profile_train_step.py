@@ -120,6 +120,12 @@ def main() -> None:
     from tcam_wsol_video_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
     print(f"backend: {jax.devices()[0].platform}")
+    # key=value CLI args are hparams overrides applied to EVERY variant
+    # (e.g. batch_size=128 crf_n_landmarks=512), same syntax as
+    # tools/trace_train_step.py
+    from tools.trace_train_step import _parse_val
+    base = {k: _parse_val(v) for k, v in
+            (a.split("=", 1) for a in sys.argv[1:])}
     variants = [
         ("full", {}),
         ("-crf", {"crf_tc": False}),
@@ -131,7 +137,7 @@ def main() -> None:
         ("sl-only", {"crf_tc": False, "max_sizepos_tc": False}),
     ]
     for name, ov in variants:
-        time_variant(name, ov)
+        time_variant(name, {**base, **ov})
 
 
 if __name__ == "__main__":
