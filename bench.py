@@ -229,7 +229,7 @@ def bench_eval_protocol(variables=None) -> dict:
     cfg.update(task=constants.TCAM, arch=constants.UNETTCAM,
                crop_size=224, resize_size=256, eval_batch_size=64,
                compute_dtype="bfloat16", eval_compute_dtype="bfloat16",
-               eval_transfer="uint16", h2d_transfer="uint8",
+               eval_transfer="uint8", h2d_transfer="uint8",
                cam_curve_interval=0.001, num_workers=2, fast_eval=False)
     args = finalize(HParams(cfg))
     kc = KeyChain(0)
@@ -274,7 +274,7 @@ def bench_eval_protocol(variables=None) -> dict:
     return {
         "metric": "TCAM protocol-complete eval frames/sec (decode cache "
                   "+ CAM fwd + exact cv2 sweep @.001 + counters, uint8 "
-                  "up / uint16 down) @224px, 1 host core, median of 3",
+                  "up / uint8 down) @224px, 1 host core, median of 3",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / REFERENCE_V100_FRAMES_PER_SEC, 3),

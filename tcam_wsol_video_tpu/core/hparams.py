@@ -439,7 +439,14 @@ def finalize(args: HParams) -> HParams:
     assert args.method in constants.CAM_METHODS
     assert args.sl_tc_seed_tech in constants.SEED_TECHS
     assert args.crf_impl in ("exact", "landmarks", "rff"), args.crf_impl
-    assert args.eval_transfer in ("float32", "uint16"), args.eval_transfer
+    assert args.eval_transfer in ("float32", "uint16",
+                                  "uint8"), args.eval_transfer
+    # uint8 readback equals the box protocol's own (scoremap*255)
+    # truncation bit-exactly, but PxAP consumes the float CAM — keep
+    # the 1-byte transfer off mask datasets (engine/steps.py)
+    assert not (args.eval_transfer == "uint8"
+                and args.dataset == constants.OpenImages), \
+        "eval_transfer=uint8 is box-protocol only (PxAP needs float CAMs)"
     assert args.h2d_transfer in ("float32", "uint8"), args.h2d_transfer
     assert args.sl_tc_roi_method in constants.ROI_SELECT
     assert args.sl_tc_knn_mode in constants.TIME_DEPENDENCY

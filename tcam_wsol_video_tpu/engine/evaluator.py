@@ -26,6 +26,18 @@ from tcam_wsol_video_tpu.metrics import device_eval
 from tcam_wsol_video_tpu.metrics.wsol import BoxEvaluator
 
 
+def _dequant_cams_np(cams_np: np.ndarray) -> np.ndarray:
+    """Undo the eval_transfer packing after readback (engine/steps.py):
+    uint16 -> /65535 (box CAMs pre-floored to the uint8/255 grid, so
+    bit-identical to float32); uint8 -> /255 (IS the box protocol's own
+    quantization)."""
+    if cams_np.dtype == np.uint16:
+        return cams_np.astype(np.float32) / 65535.0
+    if cams_np.dtype == np.uint8:
+        return cams_np.astype(np.float32) / 255.0
+    return cams_np
+
+
 def cam_threshold_list(interval: float) -> np.ndarray:
     return np.arange(0.0, 1.0, interval)
 
@@ -85,9 +97,7 @@ class CamEvaluator:
             targets = self._put(batch["label"])
             cams, logits = self.eval_step(params, bstats, images, targets,
                                           key)
-            cams_np = np.asarray(cams)
-            if cams_np.dtype == np.uint16:      # eval_transfer=uint16
-                cams_np = cams_np.astype(np.float32) / 65535.0
+            cams_np = _dequant_cams_np(np.asarray(cams))
             preds = np.argsort(-np.asarray(logits), axis=-1, kind="stable")
             valid = batch["valid"]
             n_correct += int(((preds[:, 0] == batch["label"]) & valid).sum())
@@ -192,6 +202,8 @@ class CamEvaluator:
             if self.on_device:
                 if cams.dtype == jnp.uint16:    # eval_transfer=uint16
                     cams = cams.astype(jnp.float32) / 65535.0
+                elif cams.dtype == jnp.uint8:   # eval_transfer=uint8
+                    cams = cams.astype(jnp.float32) / 255.0
                 gt_valid_dev = jnp.asarray(gt_valid & valid[:, None])
                 c = device_eval.batch_counters(
                     cams, jnp.asarray(gt_boxes), gt_valid_dev, taus_dev,
@@ -199,9 +211,7 @@ class CamEvaluator:
                 dev_counters = c if dev_counters is None else dev_counters + c
                 dev_count += int(valid.sum())
             else:
-                cams_np = np.asarray(cams)
-                if cams_np.dtype == np.uint16:  # eval_transfer=uint16
-                    cams_np = cams_np.astype(np.float32) / 65535.0
+                cams_np = _dequant_cams_np(np.asarray(cams))
                 idxs = [i for i in range(cams_np.shape[0]) if valid[i]]
                 from tcam_wsol_video_tpu.metrics import native_sweep
                 if (evaluator.multi_contour_eval and idxs

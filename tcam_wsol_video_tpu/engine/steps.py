@@ -347,6 +347,15 @@ def make_cam_eval_step(model, args, classifier_model=None):
             if box_protocol:
                 cam = jnp.floor(cam * 255.0) / 255.0
             cam = jnp.round(cam * 65535.0).astype(jnp.uint16)
+        elif transfer == "uint8":
+            # floor(cam*255) IS the protocol's own quantization
+            # ((scoremap*255).astype(uint8) truncates, reference
+            # wsol_metrics.py:155), so on box datasets the 1-byte
+            # transfer is BIT-IDENTICAL to float32 at half uint16's
+            # readback.  Mask datasets (PxAP reads the float CAM):
+            # nearest-bin error 1/510 ~ 2e-3 — approximate there,
+            # hence opt-in and asserted box-only in hparams.finalize.
+            cam = jnp.floor(cam * 255.0).astype(jnp.uint8)
         return cam, logits
 
     return eval_step

@@ -612,12 +612,14 @@ def test_h2d_uint8_trainer_train_and_eval(synth, tmp_path_factory):
 
 
 def test_eval_transfer_uint16_matches_float32(synth):
-    """--eval_transfer uint16 (2-byte packed device->host CAMs for
+    """--eval_transfer uint16/uint8 (packed device->host CAMs for
     bandwidth-starved host links) must reproduce the float32 protocol:
     identical counters/curves on the same model.  Bit-identical by
     construction on box datasets: the device floors the CAM to the
     uint8/255 grid the cv2 protocol quantizes to anyway before packing
-    (k/255 -> k*257 -> /65535 -> k/255 exactly, all 256 values)."""
+    (uint16: k/255 -> k*257 -> /65535 -> k/255 exactly, all 256
+    values; uint8: floor(cam*255) IS the protocol quantization,
+    shipped as-is at 1 byte)."""
     from tcam_wsol_video_tpu.engine.evaluator import CamEvaluator
     from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
                                                     init_model)
@@ -625,7 +627,7 @@ def test_eval_transfer_uint16_matches_float32(synth):
     kc = KeyChain(0)
     md = load_split_metadata(synth["metadata_root"], "val")
     results = {}
-    for mode in ("float32", "uint16"):
+    for mode in ("float32", "uint16", "uint8"):
         args = _small_args(eval_transfer=mode)
         ds = WSOLVideoDataset(md, synth["data_root"], "val", C.YTOV1,
                               PairedTransform(40, 32, train=False), kc,
@@ -635,14 +637,16 @@ def test_eval_transfer_uint16_matches_float32(synth):
         variables = init_model(model, kc.key("init"), (1, 32, 32, 3))
         ev = CamEvaluator(model, args, ds, pipe, "val")
         results[mode] = ev.run(jax.device_get(variables), kc.key("e"))
-    f32, u16 = results["float32"], results["uint16"]
-    for k in f32:
-        if k == "curves":
-            for c_f, c_u in zip(f32[k], u16[k]):
-                np.testing.assert_array_equal(np.asarray(c_f),
-                                              np.asarray(c_u))
-        elif isinstance(f32[k], (int, float)):
-            assert f32[k] == u16[k], (k, f32[k], u16[k])
+    f32 = results["float32"]
+    for mode in ("uint16", "uint8"):
+        packed = results[mode]
+        for k in f32:
+            if k == "curves":
+                for c_f, c_u in zip(f32[k], packed[k]):
+                    np.testing.assert_array_equal(np.asarray(c_f),
+                                                  np.asarray(c_u))
+            elif isinstance(f32[k], (int, float)):
+                assert f32[k] == packed[k], (mode, k, f32[k], packed[k])
 
 
 @pytest.mark.parametrize("encoder", ["vgg16", "inceptionv3"])
