@@ -93,7 +93,13 @@ def make_synthetic_dataset(root: str, n_classes: int = 3,
     # eval splits index frames; use every 2nd frame for val, rest for test
     val_sel = list(range(0, len(eval_rows["ids"]), 2))
     tst_sel = list(range(1, len(eval_rows["ids"]), 2))
-    for split, sel in (("val", val_sel), ("test", tst_sel)):
+    # test-video-demo mirrors the reference's demo split (one video per
+    # class from the test pool; folds zip layout, wsol_loader.py:64-181)
+    # — the default split of cli/demo_video
+    demo_sel = [i for i in tst_sel
+                if eval_rows["ids"][i].split("/")[2] == "0000"]
+    for split, sel in (("val", val_sel), ("test", tst_sel),
+                       ("test-video-demo", demo_sel)):
         write(split,
               [eval_rows["ids"][i] for i in sel],
               [eval_rows["labels"][i] for i in sel],

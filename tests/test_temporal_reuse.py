@@ -80,7 +80,9 @@ def test_demo_cli_change_based_inference(tmp_path_factory):
         exps, "YouTube-Objects-v1.0-resnet50-CAM-WGAP-"
         "cp_best_localization-boxv2_True", "r")
 
-    common = ["--exp_dir", exp_dir, "--split", "test",
+    # no --split: exercises the CLI's default test-video-demo split,
+    # which the synthetic builder now emits (reference folds layout)
+    common = ["--exp_dir", exp_dir,
               "--dataset", "YouTube-Objects-v1.0", "--task", "STD_CL",
               "--data_root", str(root),
               "--metadata_root", out["metadata_root"],
