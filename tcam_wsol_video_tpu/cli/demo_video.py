@@ -101,9 +101,9 @@ def main(argv=None):
                 batch["label"])[compute_rows]
             cams, _ = eval_step(params, bstats, jnp.asarray(sel),
                                 jnp.asarray(labels), key)
-            from tcam_wsol_video_tpu.engine.evaluator import \
-                _dequant_cams_np
-            sub = _dequant_cams_np(np.asarray(cams))
+            from tcam_wsol_video_tpu.engine.steps import \
+                dequantize_cams_np
+            sub = dequantize_cams_np(np.asarray(cams))
         planner.resolve_rows(vids, compute_rows, reuse_from, sub, cams_np)
         for i, iid in enumerate(batch["image_id"]):
             if not batch["valid"][i]:

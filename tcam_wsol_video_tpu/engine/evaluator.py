@@ -21,21 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from tcam_wsol_video_tpu.core import constants
-from tcam_wsol_video_tpu.engine.steps import make_cam_eval_step
+from tcam_wsol_video_tpu.engine.steps import (
+    dequantize_cams_np, make_cam_eval_step)
 from tcam_wsol_video_tpu.metrics import device_eval
 from tcam_wsol_video_tpu.metrics.wsol import BoxEvaluator
-
-
-def _dequant_cams_np(cams_np: np.ndarray) -> np.ndarray:
-    """Undo the eval_transfer packing after readback (engine/steps.py):
-    uint16 -> /65535 (box CAMs pre-floored to the uint8/255 grid, so
-    bit-identical to float32); uint8 -> /255 (IS the box protocol's own
-    quantization)."""
-    if cams_np.dtype == np.uint16:
-        return cams_np.astype(np.float32) / 65535.0
-    if cams_np.dtype == np.uint8:
-        return cams_np.astype(np.float32) / 255.0
-    return cams_np
 
 
 def cam_threshold_list(interval: float) -> np.ndarray:
@@ -97,7 +86,7 @@ class CamEvaluator:
             targets = self._put(batch["label"])
             cams, logits = self.eval_step(params, bstats, images, targets,
                                           key)
-            cams_np = _dequant_cams_np(np.asarray(cams))
+            cams_np = dequantize_cams_np(np.asarray(cams))
             preds = np.argsort(-np.asarray(logits), axis=-1, kind="stable")
             valid = batch["valid"]
             n_correct += int(((preds[:, 0] == batch["label"]) & valid).sum())
@@ -211,7 +200,7 @@ class CamEvaluator:
                 dev_counters = c if dev_counters is None else dev_counters + c
                 dev_count += int(valid.sum())
             else:
-                cams_np = _dequant_cams_np(np.asarray(cams))
+                cams_np = dequantize_cams_np(np.asarray(cams))
                 idxs = [i for i in range(cams_np.shape[0]) if valid[i]]
                 from tcam_wsol_video_tpu.metrics import native_sweep
                 if (evaluator.multi_contour_eval and idxs

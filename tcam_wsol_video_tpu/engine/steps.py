@@ -361,6 +361,20 @@ def make_cam_eval_step(model, args, classifier_model=None):
     return eval_step
 
 
+def dequantize_cams_np(cams_np):
+    """Undo make_cam_eval_step's eval_transfer packing after readback:
+    uint16 -> /65535 (box CAMs pre-floored to the uint8/255 grid, so
+    bit-identical to float32); uint8 -> /255 (IS the box protocol's own
+    quantization).  Lives next to the packing it inverts; consumed by
+    the evaluator, the trainer's CAM-progress plots, and demo_video."""
+    import numpy as _np
+    if cams_np.dtype == _np.uint16:
+        return cams_np.astype(_np.float32) / 65535.0
+    if cams_np.dtype == _np.uint8:
+        return cams_np.astype(_np.float32) / 255.0
+    return cams_np
+
+
 def make_classifier_cam_fn(classifier_model, args):
     """Batched stage-1 CAM recomputation from the frozen seeder classifier
     — used when stored CAMs are absent (reference get_std_cams_minibatch,

@@ -518,11 +518,11 @@ class Trainer:
             cams, _ = self._progress_step(
                 self.state.params, self.state.batch_stats, imgs, labels,
                 self.kc.key("progress", epoch))
-            from tcam_wsol_video_tpu.engine.evaluator import \
-                _dequant_cams_np
+            from tcam_wsol_video_tpu.engine.steps import \
+                dequantize_cams_np
             plot_progress_grid(
                 [it["raw_img"] for it in items],
-                list(_dequant_cams_np(np.asarray(cams))),
+                list(dequantize_cams_np(np.asarray(cams))),
                 os.path.join(self.outd, "progress",
                              f"epoch_{epoch:04d}.png"), epoch)
         except Exception as e:  # plotting never kills training

@@ -217,7 +217,7 @@ def _knm_dtype_default():
     return jnp.dtype(os.environ.get("TCAM_KNM_DTYPE", "float32"))
 
 
-def _lmk_unroll(ng: int) -> bool:
+def _lmk_unroll() -> bool:
     """Whether the landmark filter's per-group loop is Python-unrolled
     into a flat graph (TCAM_LMK_UNROLL=1; default off).  Hypothesis
     tested in round 4: lax.map lowers to a while loop, and the bs128
@@ -236,13 +236,15 @@ def _lmk_unroll(ng: int) -> bool:
     return os.environ.get("TCAM_LMK_UNROLL", "0") == "1"
 
 
-_PALLAS_KNM_OK: Dict[Tuple[int, int], bool] = {}
+_PALLAS_KNM_OK: Dict[Tuple[int, int, str], bool] = {}
 
 
-def _knm_build_pallas(n_pixels: int, n_landmarks: int) -> bool:
+def _knm_build_pallas(n_pixels: int, n_landmarks: int,
+                      out_dtype=jnp.float32) -> bool:
     """Whether the landmark filter builds K_nm with the Pallas build
     kernel (TCAM_KNM_BUILD: "pallas" = on subject to the compile
-    probe; default "xla" = off).
+    probe; "interpret" = on via the Pallas interpreter, for testing
+    the integration branch off-TPU; default "xla" = off).
 
     Motivation (round-4 bs128 trace): XLA fuses the D=5 distance
     matmul with the exp into one loop fusion pacing at 1.3 TF/s /
@@ -261,11 +263,18 @@ def _knm_build_pallas(n_pixels: int, n_landmarks: int) -> bool:
     mode = os.environ.get("TCAM_KNM_BUILD", "xla")
     if mode in ("xla", "auto"):
         return False
+    if mode == "interpret":
+        return True
     if mode != "pallas":
         raise ValueError(f"TCAM_KNM_BUILD={mode!r}")
     from tcam_wsol_video_tpu.ops.pallas.landmarks import (P_TILE,
                                                           _round_up)
-    key = (_round_up(n_pixels, P_TILE), _round_up(n_landmarks, 128))
+    # the probe must compile the SAME kernel variant the real call
+    # will: out_dtype changes the Mosaic store and can fail where the
+    # fp32 variant compiles (the degrade contract would otherwise be
+    # violated inside the caller's jit)
+    key = (_round_up(n_pixels, P_TILE), _round_up(n_landmarks, 128),
+           jnp.dtype(out_dtype).name)
     if key not in _PALLAS_KNM_OK:
         try:
             from tcam_wsol_video_tpu.ops.pallas.landmarks import \
@@ -273,7 +282,8 @@ def _knm_build_pallas(n_pixels: int, n_landmarks: int) -> bool:
             import numpy as _np
             f = jnp.zeros((1, n_pixels, 5), jnp.float32)
             fm = jnp.full((1, key[1], 5), 1e6, jnp.float32)
-            _np.asarray(build_knm_pallas(f, fm)[0, 0, 0])
+            _np.asarray(build_knm_pallas(f, fm, out_dtype=out_dtype)
+                        [0, 0, 0])
             _PALLAS_KNM_OK[key] = True
         except Exception:  # pragma: no cover - hardware dependent
             _PALLAS_KNM_OK[key] = False
@@ -335,7 +345,9 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
     f_pad = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
     v_pad = jnp.pad(vals, ((0, pad), (0, 0), (0, 0)))
 
-    pallas_build = _knm_build_pallas(p, m)
+    pallas_build = _knm_build_pallas(p, m, out_dtype=knm_dtype)
+    import os as _os
+    knm_interpret = _os.environ.get("TCAM_KNM_BUILD") == "interpret"
     m_eff = -(-int(m) // 128) * 128 if pallas_build else int(m)
 
     def one_group(fv):
@@ -353,8 +365,8 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
                 build_knm_pallas
             fmp = jnp.pad(fm, ((0, 0), (0, m_eff - m), (0, 0)),
                           constant_values=1e6)
-            knm = build_knm_pallas(f, fmp,
-                                   out_dtype=knm_dtype)[:, :p]
+            knm = build_knm_pallas(f, fmp, out_dtype=knm_dtype,
+                                   interpret=knm_interpret)[:, :p]
             kmm = _kmat_batched(fmp, fmp)                  # (G, M', M')
         else:
             knm = _kmat_batched(f, fm).astype(knm_dtype)   # (G, P, M)
@@ -383,7 +395,7 @@ def gaussian_filter_apply_landmarks(feats: jax.Array, vals: jax.Array,
         return jnp.einsum("gpm,gmk->gpk", knm, alpha.astype(knm_dtype),
                           preferred_element_type=jnp.float32)
 
-    if _lmk_unroll(ng):
+    if _lmk_unroll():
         # ng is static: a Python-unrolled loop gives XLA a FLAT graph.
         # lax.map lowers to a while loop, which is a scheduling
         # barrier — nothing outside the loop can overlap with it, and

@@ -224,10 +224,10 @@ def build_knm_pallas(feats: jax.Array, fm: jax.Array,
     pad with 1e6 features whose kernel column is exactly 0)
     -> (B, P_pad, M) in `out_dtype`, P_pad = P rounded up to the tile.
 
-    Pad PIXELS also sit at 1e6, so pad-pixel x real-landmark entries
-    are exactly 0 (pad-pixel x pad-landmark entries are 1.0 — harmless:
-    pad landmarks solve to alpha == 0 against zero-padded vals, and
-    callers slice pad pixels away).  At 224^2 (P = 49 * P_TILE) there
+    Pad PIXELS also sit at 1e6 (dim 0 only, vs the pad landmarks'
+    all-dims 1e6), so every pad row/column entry underflows to exactly
+    0; pad landmarks additionally solve to alpha == 0 against
+    zero-padded vals, and callers slice pad pixels away.  At 224^2 (P = 49 * P_TILE) there
     is no pixel padding and the caller's slice is a no-op.
     """
     b, p, d = feats.shape

@@ -499,10 +499,9 @@ def test_build_knm_pallas_matches_kmat(rng):
     """The build-only Pallas kernel (round-4: replaces the 1.3 TF/s
     XLA distance+exp fusion that paced the bs128 landmark filter) must
     reproduce _kmat_batched on real landmarks, write exact-zero
-    columns for 1e6-padded landmarks, and zero rows for padded pixels;
-    and the full landmark filter must be invariant to TCAM_KNM_BUILD
-    on a geometry where the probe passes (interpret mode here — the
-    device probe is exercised by the TPU benches)."""
+    columns for 1e6-padded landmarks, and zero rows for padded pixels.
+    (Full-filter invariance to TCAM_KNM_BUILD is pinned separately by
+    test_landmark_filter_pallas_build_branch_matches_xla.)"""
     import jax
     from tcam_wsol_video_tpu.ops import crf
     from tcam_wsol_video_tpu.ops.pallas.landmarks import build_knm_pallas
@@ -528,3 +527,35 @@ def test_build_knm_pallas_matches_kmat(rng):
     np.testing.assert_allclose(got[:, :p, :m], ref, rtol=0, atol=1e-4)
     assert np.all(got[:, :p, m:] == 0.0)   # pad-landmark columns
     assert np.all(got[:, p:, :m] == 0.0)   # pad-pixel rows
+
+
+def test_landmark_filter_pallas_build_branch_matches_xla(rng, monkeypatch):
+    """The FULL landmark filter with TCAM_KNM_BUILD exercised end to end
+    (m_eff 128-padding, kmm over 1e6-padded landmarks, the [:, :p]
+    slice, and both solvers downstream) must match the XLA build to
+    fp32 solve noise.  Uses the "interpret" mode added for exactly this
+    test — off-TPU the "pallas" mode's compile probe can never pass, so
+    the crf.py integration branch would otherwise only run (and only
+    fail) on a TPU with the env var set."""
+    import jax
+    from tcam_wsol_video_tpu.ops import crf
+
+    b, h, w, k = 3, 24, 24, 2
+    imgs = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    segs = rng.random((b, h, w, k)).astype(np.float32)
+    feats = jax.vmap(
+        lambda im: crf.make_bilateral_features(im, 15.0, 100.0))(
+        jnp.asarray(imgs))
+    feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+    vals = jnp.asarray(segs.reshape(b, h * w, k))
+    for m_req in (128, 512):  # 512 -> 506 actual: exercises the M pad
+        idx = crf._landmark_grid_indices(h, w, m_req)
+        monkeypatch.delenv("TCAM_KNM_BUILD", raising=False)
+        ref = np.asarray(crf.gaussian_filter_apply_landmarks(
+            feats, vals, idx))
+        monkeypatch.setenv("TCAM_KNM_BUILD", "interpret")
+        for solver in ("cho", "lockstep"):
+            got = np.asarray(crf.gaussian_filter_apply_landmarks(
+                feats, vals, idx, solver=solver))
+            err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+            assert err < 1e-4, (m_req, solver, err)

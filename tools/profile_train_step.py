@@ -121,9 +121,13 @@ def main() -> None:
     enable_compilation_cache()
     print(f"backend: {jax.devices()[0].platform}")
     # key=value CLI args are hparams overrides applied to EVERY variant
-    # (e.g. batch_size=128 crf_n_landmarks=512), same syntax as
-    # tools/trace_train_step.py
+    # (e.g. batch_size=128 crf_n_landmarks=512); anything else is a
+    # usage error, not an unpacking traceback
     from tools.trace_train_step import _parse_val
+    bad = [a for a in sys.argv[1:] if "=" not in a]
+    if bad:
+        sys.exit(f"usage: {sys.argv[0]} [key=value ...]  "
+                 f"(not understood: {bad})")
     base = {k: _parse_val(v) for k, v in
             (a.split("=", 1) for a in sys.argv[1:])}
     variants = [

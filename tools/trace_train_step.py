@@ -55,9 +55,10 @@ def main() -> None:
     state2, _ = jstep(state, batch_d, switches, key, seed_w)
     jax.tree_util.tree_leaves(state2.params)[0].block_until_ready()
 
+    steps = 8
     with jax.profiler.trace(outdir):
         st = state2
-        for i in range(8):
+        for i in range(steps):
             st, _ = jstep(st, batch_d, switches,
                           jax.random.fold_in(key, i), seed_w)
         jax.tree_util.tree_leaves(st.params)[0].block_until_ready()
@@ -104,7 +105,6 @@ def main() -> None:
         if name not in op_meta:
             op_meta[name] = (cat, fl, by, a.get("long_name", "")[:160])
         wall += dur
-    steps = 8
     print(f"== by hlo_category ({wall/1e3/steps:.1f} ms/step device op "
           f"time over {steps} steps) ==")
     print(f"{'ms/step':>8} {'share':>6} {'TF/s':>6} {'GB/s':>7}  category")
