@@ -117,7 +117,13 @@ def load_pretrained_classifier_weights(args: HParams, variables: dict
     step, payload = ckpt.load_best_model(chpt_dir)
     assert payload is not None, f"no best model under {chpt_dir}"
     comps = payload["components"]
-    only = [c for c in ("encoder", "classification_head") if c in comps]
+    # intersect with the TARGET model's components: C_BOX's DenseBoxNet
+    # has no classification_head, and the reference's loader likewise
+    # only moves the encoder onto it (instantiators.py:588-617 loads
+    # encoder+head for F_CL/TCAM, encoder alone for the boxnet)
+    present = set(variables.get("params", {}).keys())
+    only = [c for c in ("encoder", "classification_head")
+            if c in comps and c in present]
     log(f"loading pretrained classifier from {chpt_dir} (step {step}): "
         f"{only}")
     return ckpt.merge_components_into_variables(variables, comps, only=only)

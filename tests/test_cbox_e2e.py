@@ -88,3 +88,42 @@ def test_cbox_train_and_eval(synth, tmp_path_factory):
     res = ev.run(trainer.state.variables(), kc.key("ev"))
     assert 0.0 <= res["localization"] <= 100.0
     assert "classification" in res
+
+
+def test_cbox_through_the_cli(synth, tmp_path_factory):
+    """C_BOX through the real CLIs: STD_CL stage 1 via train.main, then
+    main.py --task C_BOX --arch DenseBoxNet with
+    --folder_pre_trained_cl, then eval.py on the result.  Pins the
+    encoder-only pretrained merge (DenseBoxNet has no
+    classification_head; the reference's loader likewise moves only
+    the encoder onto the boxnet, instantiators.py:588-617) — the
+    Trainer-level test above never exercised the CLI weight-loading
+    path."""
+    from tcam_wsol_video_tpu.cli import evaluate, train
+
+    exps = str(tmp_path_factory.mktemp("exps_cbox_cli"))
+    common = ["--dataset", "YouTube-Objects-v1.0",
+              "--data_root", os.path.dirname(synth["data_root"]),
+              "--metadata_root", synth["metadata_root"],
+              "--crop_size", "32", "--resize_size", "40",
+              "--batch_size", "4", "--eval_batch_size", "8",
+              "--cam_curve_interval", "0.05", "--checkpoint_save", "0",
+              "--num_workers", "1", "--outd", exps]
+    train.main(common + ["--task", "STD_CL", "--max_epochs", "1",
+                         "--exp_id", "s1"])
+    tag = ("YouTube-Objects-v1.0-resnet50-CAM-WGAP-"
+           "cp_best_localization-boxv2_True")
+    s1 = os.path.join(exps, tag, "s1")
+    res = train.main(common + [
+        "--task", "C_BOX", "--arch", "DenseBoxNet", "--max_epochs", "1",
+        "--lr", "0.001", "--cb_area_box", "True", "--cb_cl_score", "True",
+        "--cb_seed", "True", "--cb_pp_box", "True", "--cb_seed_n", "4",
+        "--cb_seed_erode_iter", "0", "--cb_cl_score_blur_ksize", "9",
+        "--cb_cl_score_blur_sigma", "4.0",
+        "--folder_pre_trained_cl", s1, "--exp_id", "cb"])
+    for k in ("localization", "maxboxacc_50", "classification"):
+        assert np.isfinite(res["best_localization"][k])
+    out = evaluate.main(common + [
+        "--task", "C_BOX", "--arch", "DenseBoxNet",
+        "--exp_dir", os.path.join(exps, tag, "cb"), "--split", "test"])
+    assert 0.0 <= out["localization"] <= 100.0
