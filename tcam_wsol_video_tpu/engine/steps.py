@@ -268,8 +268,9 @@ def make_cam_eval_step(model, args, classifier_model=None):
                 o, _ = _apply_model(model, params, batch_stats, x,
                                     train=False)
                 return o["features"][-1]
-            cam = ex.smooth_grad_cam_pp(feats_fn, head_fn, images, targets,
-                                        key)
+            cam = ex.smooth_grad_cam_pp(
+                feats_fn, head_fn, images, targets, key,
+                num_samples=int(getattr(args, "sgcampp_num_samples", 4)))
         elif method in (constants.METHOD_GAP, constants.METHOD_MAXPOOL,
                         constants.METHOD_LSE, constants.METHOD_WILDCAT):
             cam = ex.builtin_cam(out["cams_head"], targets, support_bg)
@@ -282,9 +283,15 @@ def make_cam_eval_step(model, args, classifier_model=None):
             if method == constants.METHOD_SCORECAM:
                 cam = ex.score_cam(logits_fn, images, feats, targets)
             elif method == constants.METHOD_SSCAM:
-                cam = ex.sscam(logits_fn, images, feats, targets, key)
+                # reference class defaults: 35 samples, std 2.0
+                # (cam.py:293-295); override via args for CI budgets
+                cam = ex.sscam(
+                    logits_fn, images, feats, targets, key,
+                    num_samples=int(getattr(args, "sscam_num_samples", 35)))
             else:
-                cam = ex.iscam(logits_fn, images, feats, targets)
+                cam = ex.iscam(
+                    logits_fn, images, feats, targets,
+                    num_samples=int(getattr(args, "iscam_num_samples", 10)))
         else:  # pragma: no cover
             raise NotImplementedError(method)
         return cam, logits

@@ -19,7 +19,8 @@ def test_cam_fc_weights_matches_manual(rng):
     got = np.asarray(ex.cam_fc_weights(jnp.asarray(feats), jnp.asarray(w),
                                        jnp.asarray(idx), normalized=False))
     for b in range(2):
-        want = np.maximum((feats[b] @ w[:, idx[b]]), 0)
+        # reference CAM applies NO relu (core.py:76, never overridden)
+        want = feats[b] @ w[:, idx[b]]
         np.testing.assert_allclose(got[b], want, atol=1e-5)
 
 
@@ -31,7 +32,9 @@ def test_normalize_minmax():
 
 def test_gradcam_linear_head_equals_cam(rng):
     """With a linear GAP->fc head, GradCAM weights = fc row / (h*w),
-    so the normalized GradCAM equals the normalized CAM."""
+    so the normalized GradCAM equals the ReLU'd normalized CAM (GradCAM
+    applies ReLU before min-max, gradcam.py:48; classic CAM does not,
+    core.py:76 — hence relu=True on the CAM side here)."""
     feats = jnp.asarray(np.abs(rng.standard_normal((1, 5, 5, 8))
                                ).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
@@ -41,7 +44,7 @@ def test_gradcam_linear_head_equals_cam(rng):
 
     idx = jnp.asarray([2])
     got = np.asarray(ex.grad_cam(head_fn, feats, idx))
-    want = np.asarray(ex.cam_fc_weights(feats, w, idx))
+    want = np.asarray(ex.cam_fc_weights(feats, w, idx, relu=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 

@@ -165,10 +165,11 @@ def test_resnet50_forward_parity_under_imported_weights():
     with torch.no_grad():
         gap = t_feats[-1].mean(dim=(2, 3))                   # (B, 2048)
         t_logits = gap @ torch.from_numpy(fc_w) + torch.from_numpy(fc_b)
-        # classic CAM: relu(w_class . feats), minmax-normalized
+        # classic CAM: w_class . feats (NO relu — reference CAM never
+        # sets _CAM._relu, core.py:76; full-class parity incl. the
+        # normalize in test_golden_cams)
         wc = torch.from_numpy(fc_w.T[[1, 3]])                # (B, 2048)
-        t_cam = torch.relu(
-            torch.einsum("bc,bchw->bhw", wc, t_feats[-1])).numpy()
+        t_cam = torch.einsum("bc,bchw->bhw", wc, t_feats[-1]).numpy()
 
     j_last = j_feats[-1]
     j_logits = jnp.mean(j_last, axis=(1, 2)) @ jnp.asarray(fc_w) + fc_b

@@ -47,6 +47,11 @@ def test_scorecam_family_eval_e2e(synth, method, encoder, n_img):
                cam_curve_interval=0.1, mesh_dp=1,
                method=method, spatial_pooling=C.WGAP)
     args = finalize(HParams(cfg))
+    # reference class defaults are 35 (SSCAM) / 10 (ISCAM) noise/scale
+    # samples (cam.py:293-295, cam.py:414-418) — far past the 1-core CI
+    # budget; 2 samples exercise the identical evaluator path
+    args.sscam_num_samples = 2
+    args.iscam_num_samples = 2
     assert args.std_cl_method_requires_grad is False
 
     kc = KeyChain(0)
