@@ -2,15 +2,29 @@
 region selection -> largest-region bbox.
 
 Parity target: GetRoiSingleCam
-(/root/reference/dlib/cams/tcam_seeding.py:317-430):
-- threshold = Otsu over floor(cam*255) (or a stored threshold);
+(/root/reference/dlib/cams/tcam_seeding.py:317-430), pinned value-for-value
+by tests/test_golden_roi.py against the reference's own AST-extracted
+class:
+- threshold = SKIMAGE Otsu (256 fixed bins — NOT STOtsu's unit bins, see
+  ops/otsu.otsu_threshold_skimage255) over floor(cam*255), 0 on constant
+  maps; or a stored threshold;
 - blobs = cam*255 >= threshold;
 - ROI_ALL keeps all blobs; ROI_H_DENSITY keeps the densest component
   (cam mass / area) falling back to the largest when it is under
   p_min_area_roi of the image; ROI_LARGEST keeps the largest;
-- bbox = bounding box of the selected region (whole image for ROI_ALL or
-  empty regions), mask filled with the exclusive-end convention
+- bbox = largest-contour bounding box of the selected region with
+  exclusive ends clamped to size-1 (reference :397-404 via cv2
+  boundingRect); whole image for ROI_ALL; an EMPTY region yields the
+  cv2-empty-contour sentinel [0, 0, 0, 0] and a zero mask (reference
+  wsol.py:126-127 + get_largest_bbox's >= keeping it) — NOT the full
+  image;
+- mask filled with the exclusive-end convention
   bbox_mask[y0:y1, x0:x1] = 1 (reference :416-419).
+
+Square-map note: the reference's ROI_ALL / early bboxes are
+np.array([0, 0, h-1, w-1]) in x0y0x1y1 order (:349, :404) — h and w
+swapped for non-square maps; all recipe crops are square, where the two
+agree, and we keep the sane [0, 0, w-1, h-1].
 
 Device path: batched/jittable using the on-device Otsu + label propagation;
 host path: exact scipy labeling for the offline ROI builder and tests.
@@ -27,7 +41,7 @@ from tcam_wsol_video_tpu.core import constants
 from tcam_wsol_video_tpu.ops.boxes import mask_to_bbox
 from tcam_wsol_video_tpu.ops.connected_components import (component_stats,
                                                           label_jax, label_np)
-from tcam_wsol_video_tpu.ops.otsu import otsu_threshold_255
+from tcam_wsol_video_tpu.ops.otsu import otsu_threshold_skimage255
 
 Array = jax.Array
 
@@ -54,8 +68,8 @@ def roi_one_cam(cam: Array,
     Returns (roi int32 (H, W), bbox_mask float (H, W), bbox float (4,)).
     """
     h, w = cam.shape
-    th = otsu_threshold_255(jnp.floor(cam * 255.0)) if thresh is None \
-        else jnp.asarray(thresh, jnp.float32)
+    th = otsu_threshold_skimage255(jnp.floor(cam * 255.0)) \
+        if thresh is None else jnp.asarray(thresh, jnp.float32)
     blobs = (cam * 255.0 >= th).astype(jnp.int32)
 
     if roi_method == constants.ROI_ALL:
@@ -87,10 +101,10 @@ def roi_one_cam(cam: Array,
     # (reference largest-bbox path goes through boundingRect)
     box = box.at[2].set(jnp.minimum(box[2] + 1, w - 1))
     box = box.at[3].set(jnp.minimum(box[3] + 1, h - 1))
-    # empty roi -> whole image bbox (reference :400-404)
+    # empty roi -> cv2's empty-contour sentinel [0,0,0,0] and a zero mask
+    # (reference wsol.py:126-127; get_largest_bbox keeps it via >=)
     empty = jnp.sum(roi) == 0
-    full_box = jnp.asarray([0.0, 0.0, w - 1.0, h - 1.0], jnp.float32)
-    box = jnp.where(empty, full_box, box)
+    box = jnp.where(empty, jnp.zeros((4,), jnp.float32), box)
     return roi, _bbox_mask_exclusive(h, w, box), box
 
 
@@ -118,12 +132,8 @@ def roi_one_cam_np(cam: np.ndarray,
     """Exact host version (scipy labeling), same contract as roi_one_cam."""
     h, w = cam.shape
     if thresh is None:
-        q = np.floor(cam * 255.0)
-        if q.min() == q.max():
-            th = 0.0
-        else:
-            from tcam_wsol_video_tpu.metrics.otsu_np import otsu_np
-            th = otsu_np(q)
+        from tcam_wsol_video_tpu.metrics.otsu_np import otsu_skimage_np
+        th = otsu_skimage_np(np.floor(cam * 255.0))
     else:
         th = float(thresh)
     blobs = (cam * 255.0 >= th).astype(np.int32)
@@ -149,7 +159,7 @@ def roi_one_cam_np(cam: np.ndarray,
                 chosen = max(areas, key=areas.get)
             roi = (lab == chosen).astype(np.int32)
         if roi.sum() == 0:
-            box = full_box
+            box = np.zeros((4,), np.float32)
         else:
             ys, xs = np.nonzero(roi)
             box = np.array([xs.min(), ys.min(),
