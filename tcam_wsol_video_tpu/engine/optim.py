@@ -42,6 +42,10 @@ def param_group_labels(params: dict, encoder_name: str) -> dict:
 def build_optimizer(args, params: dict, lr_fn: Callable[[int], float]
                     ) -> optax.GradientTransformation:
     assert args.opt_name == "sgd", args.opt_name
+    # the reference exposes SGD dampening (instantiators.py:833,
+    # config.py:182 default 0.); every recipe keeps 0, which is what the
+    # dampening-free optax.trace implements — guard the assumption
+    assert float(getattr(args, "dampening", 0.0)) == 0.0, args.dampening
     labels = param_group_labels(params, args.encoder_name)
     ratio = float(args.lr_classifier_ratio)
     per_group = optax.multi_transform(
