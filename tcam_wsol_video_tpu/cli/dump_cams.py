@@ -36,6 +36,21 @@ from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
                                                 init_model)
 
 
+def dump_threshold_np(cam_lo: np.ndarray, crop_size: int) -> float:
+    """Stored ROI threshold for one low-res CAM, in [0, 1].
+
+    Reference rule (inference_wsol.py:1112-1125): STOtsu over
+    floor(255 * interpolate(cam, (crop, crop), bilinear,
+    align_corners=TRUE)) — the threshold is computed on the CROP-SIZE
+    upsample (whose interpolated in-between values reshape the histogram),
+    not on the stored low-res map, then divided by 255 for the file."""
+    from tcam_wsol_video_tpu.ops.interpolate import _linear_matrix
+    mh = np.asarray(_linear_matrix(cam_lo.shape[0], crop_size, True))
+    mw = np.asarray(_linear_matrix(cam_lo.shape[1], crop_size, True))
+    full = mh @ np.asarray(cam_lo, np.float64) @ mw.T
+    return otsu_np(np.floor(full * 255.0)) / 255.0
+
+
 def dump_cams(args, exp_dir: str, out_dir: str, cam_size: int = 28,
               batch_size: int = 32) -> CamStore:
     kc = KeyChain(args.seed)
@@ -118,7 +133,7 @@ def dump_cams(args, exp_dir: str, out_dir: str, cam_size: int = 28,
         cams_lo = np.asarray(cams_dev)
         for j, (fid, _) in enumerate(chunk):
             store.save_cam(fid, cams_lo[j])
-            thresholds[fid] = otsu_np(np.floor(cams_lo[j] * 255.0))
+            thresholds[fid] = dump_threshold_np(cams_lo[j], args.crop_size)
 
     # one-batch software pipeline (same shape as CamEvaluator.run):
     # dispatch batch i, start its async host copy, decode + dispatch

@@ -8,7 +8,9 @@ _build_store_std_cam_low) and the dataset reloads them per __getitem__
 
 TPU-native: CAMs are stored as .npy (fast host mmap) mirroring the frame
 id directory layout; thresholds live in one `roi_thresholds.txt` with
-`id,threshold` lines.
+`id,threshold` lines, threshold in [0, 1] — the reference's file
+convention (inference_wsol.py:1125 writes thresh/255; the loader hands
+the [0,1] value to GetRoiSingleCam, which scales by 255).
 """
 from __future__ import annotations
 

@@ -210,7 +210,10 @@ class WSOLVideoDataset:
             if self.sl_tc_knn == 0 and self.cam_store is not None:
                 stored = self.cam_store.thresholds
                 if stored is not None and frame_id in stored:
-                    th = stored[frame_id]
+                    # the store file keeps [0, 1] (reference
+                    # inference_wsol.py:1125); GetRoiSingleCam scales by
+                    # 255 (tcam_seeding.py:341-343)
+                    th = stored[frame_id] * 255.0
             roi_np, msk_bbox, _ = roi_one_cam_np(
                 np.clip(cam_t, 0.0, 1.0), self.roi_method,
                 self.p_min_area_roi, thresh=th)
@@ -273,7 +276,8 @@ class WSOLVideoDataset:
             if self.sl_tc_knn == 0 and self.cam_store is not None:
                 stored = self.cam_store.thresholds
                 if stored is not None and frame_id in stored:
-                    th = stored[frame_id]
+                    # store file keeps [0, 1]; the ROI module takes [0, 255]
+                    th = stored[frame_id] * 255.0
             roi_np, msk_bbox, _ = roi_one_cam_np(
                 cam_t, self.roi_method, self.p_min_area_roi, thresh=th)
             roi = roi_np

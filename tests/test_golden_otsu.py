@@ -55,3 +55,32 @@ def test_otsu_degenerate_matches_bad_egg(ref_otsu):
     assert ref_otsu.bad_egg
     got = float(otsu_threshold_255(jnp.asarray(x)))
     assert got == want == 37.0
+
+
+def test_dump_threshold_matches_reference_rule(ref_otsu, rng):
+    """Stored ROI thresholds are computed on the align_corners=TRUE
+    bilinear upsample of the low-res CAM to crop size, then /255
+    (reference _build_store_std_cam_low, inference_wsol.py:1112-1125) —
+    NOT on the low-res map itself (the interpolated in-between values
+    reshape the histogram and move the Otsu split)."""
+    import torch.nn.functional as F
+
+    from tcam_wsol_video_tpu.cli.dump_cams import dump_threshold_np
+
+    crop = 32
+    diff_from_lowres = 0
+    for i in range(10):
+        cam_lo = rng.random((7, 7)).astype(np.float32) * 0.3
+        cam_lo[2:5, 2:5] = 0.6 + rng.random((3, 3)).astype(np.float32) * 0.4
+        full = F.interpolate(torch.from_numpy(cam_lo)[None, None],
+                             size=(crop, crop), mode="bilinear",
+                             align_corners=True)
+        want = float(ref_otsu(torch.floor(full * 255.0))) / 255.0
+        got = dump_threshold_np(cam_lo, crop)
+        assert got == pytest.approx(want, abs=1e-9), i
+        lowres = float(ref_otsu(torch.floor(
+            torch.from_numpy(cam_lo) * 255.0))) / 255.0
+        diff_from_lowres += (abs(lowres - want) > 1e-9)
+    # the rule matters: thresholding the low-res map picks a different
+    # value on most draws
+    assert diff_from_lowres >= 5, diff_from_lowres
