@@ -39,7 +39,8 @@ def bench_train_step(crf_scale: float = 1.0,
                      crf_lambda: float = 2e-9,
                      crf_impl: str = "exact",
                      n_landmarks: int = 1024,
-                     batch_size: int | None = None) -> dict:
+                     batch_size: int | None = None,
+                     remat: bool = False) -> dict:
     """Full TCAM stage-2 train step (sl + CRF + size losses).
 
     crf_impl="landmarks" is the flagship TPU recipe: Nystrom landmark
@@ -77,7 +78,8 @@ def bench_train_step(crf_scale: float = 1.0,
                crf_tc=True, crf_tc_lambda=crf_lambda,
                crf_tc_scale=crf_scale, crf_impl=crf_impl,
                crf_n_landmarks=n_landmarks,
-               max_sizepos_tc=True, max_sizepos_tc_lambda=0.01)
+               max_sizepos_tc=True, max_sizepos_tc_lambda=0.01,
+               remat=remat)
     args = finalize(HParams(cfg))
 
     model = create_model_from_args(args)
@@ -136,6 +138,8 @@ def bench_train_step(crf_scale: float = 1.0,
     fps = batch * iters / dt
     tag = f"lmk{n_landmarks}-CRF@scale1.0" if crf_impl == "landmarks" \
         else f"CRF@scale{crf_scale}"
+    if remat:
+        tag += "+remat"
 
     # MFU: analytic dot/conv FLOPs of ONE step (jaxpr walk — XLA's
     # cost_analysis undercounts on this backend, tools/flops.py) over

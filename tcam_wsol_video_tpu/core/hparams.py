@@ -173,6 +173,13 @@ def get_config(dataset: str) -> Dict[str, Any]:
         # touched-frame population (~192 KiB per 256px frame); eval
         # splits hit 100% once warm at any budget >= the split's size.
         "decode_cache_mb": 0,
+        # rematerialize the model forward during backprop
+        # (jax.checkpoint around the train-step apply): spends one extra
+        # forward pass of FLOPs to avoid holding encoder/decoder
+        # activations in HBM across the backward — the knob that unlocks
+        # batch sizes XLA's memory planner otherwise rejects (bs256 at
+        # 224px/M512 landmarks OOMs without it)
+        "remat": False,
 
         # pooling-head hyperparameters
         "lse_r": 10.0,

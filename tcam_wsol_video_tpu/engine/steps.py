@@ -167,9 +167,14 @@ def make_train_step(model, master_loss: MasterLoss, optimizer, args,
                                     seed_tech=constants.SEED_UNIFORM)
 
         def loss_fn(params):
-            out, new_bs = _apply_model(model, params, state.batch_stats,
-                                       batch["image"], train=True,
-                                       key=k_drop)
+            def fwd(p):
+                return _apply_model(model, p, state.batch_stats,
+                                    batch["image"], train=True, key=k_drop)
+            if getattr(args, "remat", False):
+                # recompute the forward during backprop instead of
+                # holding activations (see hparams "remat")
+                fwd = jax.checkpoint(fwd)
+            out, new_bs = fwd(params)
             if task == constants.STD_CL:
                 logits = out["cl_logits"]
                 inputs = LossInputs(cl_logits=logits, glabel=batch["label"])

@@ -496,6 +496,59 @@ def test_dp_sharding_matches_single_device(synth):
                                    atol=5e-4)
 
 
+def test_remat_train_step_matches_plain(synth):
+    """--remat true (jax.checkpoint around the model forward) is a pure
+    memory/FLOPs trade: loss and updated params must match the plain
+    step to fp tolerance."""
+    import jax.numpy as jnp
+    from tcam_wsol_video_tpu.cams.seeding import TCAMSeederCfg
+    from tcam_wsol_video_tpu.engine.lr import build_lr_fn
+    from tcam_wsol_video_tpu.engine.optim import build_optimizer
+    from tcam_wsol_video_tpu.engine.state import TrainState
+    from tcam_wsol_video_tpu.engine.steps import make_train_step
+    from tcam_wsol_video_tpu.losses.build import get_loss
+    from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
+                                                    init_model)
+
+    crop, batch = 16, 4
+    rng = np.random.default_rng(5)
+    b = {
+        "image": rng.standard_normal((batch, crop, crop, 3)
+                                     ).astype(np.float32),
+        "label": rng.integers(0, 10, (batch,)).astype(np.int32),
+        "raw_img": (rng.random((batch, crop, crop, 3)) * 255
+                    ).astype(np.float32),
+        "std_cam": rng.random((batch, crop, crop)).astype(np.float32),
+        "roi": np.ones((batch, crop, crop), np.int32),
+        "msk_bbox": np.ones((batch, crop, crop), np.float32),
+        "seq_iter": np.arange(batch, dtype=np.float32),
+        "frm_iter": np.zeros((batch,), np.float32),
+        "fg_size": np.full((batch,), 0.3, np.float32),
+        "valid": np.ones((batch,), bool),
+    }
+    results = []
+    for remat in (False, True):
+        args = _small_args(C.TCAM, crop_size=crop, batch_size=batch,
+                           sl_tc=True, sl_tc_max=2, sl_tc_min=2,
+                           max_sizepos_tc=True, remat=remat)
+        model = create_model_from_args(args)
+        variables = init_model(model, jax.random.PRNGKey(0),
+                               (1, crop, crop, 3))
+        ml = get_loss(args)
+        opt = build_optimizer(args, variables["params"], build_lr_fn(args))
+        state = TrainState.create(variables, opt.init(variables["params"]),
+                                  1.0)
+        step = make_train_step(model, ml, opt, args,
+                               TCAMSeederCfg(min_=2, max_=2, ksz=1))
+        s, m = step(state, {k: jnp.asarray(v) for k, v in b.items()},
+                    ml.switches(0), jax.random.PRNGKey(3), jnp.float32(0.0))
+        results.append((float(m["loss"]), s.params))
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(results[0][1]),
+                    jax.tree_util.tree_leaves(results[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
 def test_eval_with_crf_post_processing(synth):
     """--crf_post_process: mean-field refinement runs inside the eval step
     and returns valid probability CAMs."""
