@@ -393,9 +393,91 @@ def _coerce(v_default: Any, s: str) -> Any:
     return s
 
 
+# reference flag names (parseit.py:155-189) -> our keys, so the
+# published commands (/root/reference/README.md:236-339) paste in
+# unchanged
+_REFERENCE_ALIASES = {
+    "opt__name_optimizer": "opt_name",
+    "opt__lr": "lr",
+    "opt__momentum": "momentum",
+    "opt__dampening": "dampening",
+    "opt__nesterov": "nesterov",
+    "opt__weight_decay": "weight_decay",
+    "opt__name_lr_scheduler": "lr_scheduler",
+    "opt__gamma": "gamma",
+    "opt__min_lr": "min_lr",
+    "opt__t_max": "t_max",
+    "opt__step_size": "step_size",
+    "opt__lr_classifier_ratio": "lr_classifier_ratio",
+}
+
+# torchrun/DDP/CUDA-era flags from the reference's commands, meaningless
+# under jit on TPU (device selection and collectives are the runtime's
+# job; precision is compute_dtype): accepted and dropped with a warning.
+# The adam-only keys are included because opt_name=sgd is the only
+# supported optimizer (every published recipe) and build_optimizer
+# asserts it — a pasted adam run fails THERE with a clear message.
+_REFERENCE_IGNORED = {
+    "local_world_size", "local_rank", "dist_backend", "cudaid",
+    "c_cudaid", "world_size", "amp", "amp_eval",
+    "opt__beta1", "opt__beta2", "opt__eps_adam", "opt__amsgrad",
+    "opt__last_epoch",
+}
+
+
+def _normalize_reference_argv(argv):
+    """Rewrite reference-schema flags: aliases renamed, runtime flags
+    dropped (warned), --opt__lr_scheduler False -> lr_scheduler=constant."""
+    import warnings
+    out, dropped, i = [], [], 0
+    argv = list(argv)
+
+    def _split(tok):
+        name_val = tok[2:].split("=", 1)
+        return name_val[0], (name_val[1] if len(name_val) == 2 else None)
+
+    while i < len(argv):
+        tok = argv[i]
+        if not tok.startswith("--"):
+            out.append(tok)
+            i += 1
+            continue
+        name, inline_val = _split(tok)
+        has_sep_val = (inline_val is None and i + 1 < len(argv)
+                       and not argv[i + 1].startswith("--"))
+        if name in _REFERENCE_IGNORED:
+            dropped.append(name)
+            i += 2 if has_sep_val else 1
+            continue
+        if name == "opt__lr_scheduler":
+            val = inline_val if inline_val is not None else (
+                argv[i + 1] if has_sep_val else "true")
+            if val.lower() not in _BOOL_TRUE:
+                out += ["--lr_scheduler", "constant"]
+            i += 2 if has_sep_val else 1
+            continue
+        if name in _REFERENCE_ALIASES:
+            new = _REFERENCE_ALIASES[name]
+            out.append(f"--{new}={inline_val}" if inline_val is not None
+                       else f"--{new}")
+        else:
+            out.append(tok)
+        i += 1
+    if dropped:
+        warnings.warn(
+            "reference runtime flags accepted and ignored (no-ops on "
+            f"this backend): {sorted(set(dropped))}", stacklevel=3)
+    return out
+
+
 def parse_args(argv=None, defaults: Optional[Dict[str, Any]] = None) -> HParams:
     """CLI override layer: --dataset picks the default dict, every other key
-    in it becomes a flag (reference get_args, parseit.py:82-938)."""
+    in it becomes a flag (reference get_args, parseit.py:82-938).
+    Reference-schema spellings (--opt__*, torchrun/CUDA runtime flags)
+    are normalized first so the published commands paste in unchanged."""
+    import sys
+    argv = _normalize_reference_argv(
+        sys.argv[1:] if argv is None else argv)
     boot = argparse.ArgumentParser(add_help=False)
     boot.add_argument("--dataset", type=str, default=constants.YTOV1)
     boot.add_argument("--config", type=str, default="",

@@ -67,6 +67,14 @@ def multistep_lr(base_lr: float, milestones: Sequence[int], gamma: float
 def build_lr_fn(args) -> Callable[[int], float]:
     if args.lr_scheduler == "mystep":
         return step_lr(args.lr, args.step_size, args.gamma, args.min_lr)
+    if args.lr_scheduler == "step":
+        # torch StepLR (instantiators.py:860-864): mystep without the
+        # min_lr floor
+        return step_lr(args.lr, args.step_size, args.gamma, 0.0)
+    if args.lr_scheduler == "constant":
+        # --opt__lr_scheduler False in the reference flag surface:
+        # no schedule at all
+        return lambda epoch: args.lr
     if args.lr_scheduler == "cosine":
         return cosine_lr(args.lr, args.t_max, args.min_lr)
     if args.lr_scheduler == "mycosine":

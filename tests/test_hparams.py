@@ -115,6 +115,76 @@ def test_lr_schedules():
     assert 1e-5 < g(5) < 0.01
 
 
+def test_reference_readme_command_pastes_in():
+    """The verbatim TCAM command from the reference README
+    (/root/reference/README.md:280-339) must parse: --opt__* flags map
+    to our optimizer keys, torchrun/CUDA runtime flags are accepted and
+    dropped with one warning."""
+    import shlex
+    import warnings
+
+    cmd = (
+        "--local_world_size=1 --task TCAM --encoder_name resnet50 "
+        "--arch UnetTCAM --opt__name_optimizer sgd --dist_backend gloo "
+        "--batch_size 32 --max_epochs 100 --checkpoint_save 100 "
+        "--keep_last_n_checkpoints 10 --freeze_cl True "
+        "--support_background True --method CAM --spatial_pooling WGAP "
+        "--dataset YouTube-Objects-v1.0 --box_v2_metric False --cudaid 0 "
+        "--amp True --plot_tr_cam_progress False --opt__lr 0.01 "
+        "--opt__step_size 15 --opt__gamma 0.9 --opt__weight_decay 0.0001 "
+        "--elb_init_t 1.0 --elb_max_t 10.0 --elb_mulcoef 1.01 "
+        "--sl_tc True --sl_tc_knn 1 --sl_tc_knn_mode before "
+        "--sl_tc_knn_t 0.0 --sl_tc_knn_epoch_switch_uniform -1 "
+        "--sl_tc_min_t 0.0 --sl_tc_lambda 1.0 --sl_tc_min 1 --sl_tc_max 1 "
+        "--sl_tc_ksz 3 --sl_tc_max_p 0.6 --sl_tc_min_p 0.1 "
+        "--sl_tc_seed_tech seed_weighted --sl_tc_use_roi True "
+        "--sl_tc_roi_method roi_all --sl_tc_roi_min_size 0.05 "
+        "--crf_tc True --crf_tc_lambda 2e-09 --crf_tc_sigma_rgb 15.0 "
+        "--crf_tc_sigma_xy 100.0 --crf_tc_scale 1.0 --max_sizepos_tc True "
+        "--max_sizepos_tc_lambda 0.01 --size_bg_g_fg_tc False "
+        "--empty_out_bb_tc False --sizefg_tmp_tc False --knn_tc 0 "
+        "--rgb_jcrf_tc False --exp_id x")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        args = parse_args(shlex.split(cmd))
+    assert args.opt_name == "sgd"
+    assert args.lr == 0.01
+    assert args.step_size == 15
+    assert args.gamma == 0.9
+    assert args.weight_decay == 0.0001
+    assert args.lr_scheduler == "mystep"      # reference default kept
+    assert args.sl_tc and args.crf_tc and args.crf_tc_lambda == 2e-09
+    dropped = [x for x in w if "accepted and ignored" in str(x.message)]
+    assert len(dropped) == 1
+    for f in ("amp", "cudaid", "dist_backend", "local_world_size"):
+        assert f in str(dropped[0].message)
+
+
+def test_reference_scheduler_spellings():
+    """--opt__name_lr_scheduler renames; --opt__lr_scheduler False maps
+    to the constant schedule; torch 'step' (no min_lr floor) builds."""
+    from tcam_wsol_video_tpu.engine.lr import build_lr_fn
+
+    a = parse_args(["--task", "STD_CL",
+                    "--opt__name_lr_scheduler", "cosine",
+                    "--opt__t_max", "20"])
+    assert a.lr_scheduler == "cosine" and a.t_max == 20
+
+    b = parse_args(["--task", "STD_CL", "--opt__lr_scheduler", "False",
+                    "--opt__lr", "0.25"])
+    assert b.lr_scheduler == "constant"
+    fb = build_lr_fn(b)
+    assert fb(0) == fb(99) == 0.25
+
+    c = parse_args(["--task", "STD_CL", "--opt__name_lr_scheduler",
+                    "step", "--opt__lr", "0.01", "--opt__step_size", "2",
+                    "--opt__gamma", "0.1", "--opt__min_lr", "1e-5"])
+    fc = build_lr_fn(c)
+    assert fc(0) == 0.01
+    assert fc(2) == pytest.approx(1e-3)
+    assert fc(100) < 1e-5                      # NO floor: decays past min_lr
+
+
 def test_eval_cli_missing_exp_dir_fails_fast(tmp_path):
     """eval.py with a nonexistent --exp_dir must die on the 'no best
     model' assert (before any model init / XLA compile), not a
