@@ -73,3 +73,15 @@ def test_multistep_matches_torch():
     ours = multistep_lr(0.01, milestones=[10, 30], gamma=0.1)
     for ep, w in enumerate(want):
         assert ours(ep) == pytest.approx(w, rel=1e-6), ep
+
+
+def test_step_matches_torch_steplr():
+    """'step' = torch StepLR (instantiators.py:860-864): decays without
+    a min_lr floor, unlike 'mystep'."""
+    from tcam_wsol_video_tpu.engine.lr import step_lr
+    want = _drive(torch.optim.lr_scheduler.StepLR, 40, 0.01,
+                  step_size=5, gamma=0.1)
+    ours = step_lr(0.01, step_size=5, gamma=0.1, min_lr=0.0)
+    for ep, w in enumerate(want):
+        assert ours(ep) == pytest.approx(w, rel=1e-6, abs=1e-12), ep
+    assert ours(35) < 1e-8                      # no floor
