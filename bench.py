@@ -203,7 +203,7 @@ def _bench_synth_root(n_shots: int = 256) -> dict:
             "metadata_root": os.path.join(root, "folds")}
 
 
-def bench_eval_protocol(variables=None) -> dict:
+def bench_eval_protocol(variables=None, device_cache: bool = False) -> dict:
     """PROTOCOL-COMPLETE eval: jitted CAM forward + the exact host cv2
     sweep at cam_curve_interval=.001 (~1000 thresholds/image) + counters
     — the wall-clock a real test evaluation lives by (reference
@@ -234,7 +234,8 @@ def bench_eval_protocol(variables=None) -> dict:
                crop_size=224, resize_size=256, eval_batch_size=64,
                compute_dtype="bfloat16", eval_compute_dtype="bfloat16",
                eval_transfer="uint8", h2d_transfer="uint8",
-               cam_curve_interval=0.001, num_workers=2, fast_eval=False)
+               cam_curve_interval=0.001, num_workers=2, fast_eval=False,
+               eval_device_cache=device_cache)
     args = finalize(HParams(cfg))
     kc = KeyChain(0)
     md = load_split_metadata(synth["metadata_root"], "test")
@@ -275,8 +276,10 @@ def bench_eval_protocol(variables=None) -> dict:
         res = ev.run(variables, jax.random.PRNGKey(i))
         fps_runs.append(res["n_images"] / (time.perf_counter() - t0))
     fps = float(np.median(fps_runs))
+    tag = ("HBM-resident batches" if device_cache else
+           "decode cache")
     return {
-        "metric": "TCAM protocol-complete eval frames/sec (decode cache "
+        "metric": f"TCAM protocol-complete eval frames/sec ({tag} "
                   "+ CAM fwd + exact cv2 sweep @.001 + counters, uint8 "
                   "up / uint8 down) @224px, 1 host core, median of 3",
         "value": round(fps, 2),
@@ -500,6 +503,13 @@ def main() -> None:
         # random-init ~142 ms), and real test evals run on trained models
         proto_eval = bench_eval_protocol(variables=trained_vars)
         print(json.dumps(proto_eval))
+        # steady-state variant: eval_device_cache keeps the split's
+        # prepared batches in HBM after the warm pass (bit-identical
+        # counters) — per-epoch validations and repeated test evals in a
+        # real run pay no decode/packing/upload at all
+        proto_eval_dc = bench_eval_protocol(variables=trained_vars,
+                                            device_cache=True)
+        print(json.dumps(proto_eval_dc))
         extra = {"train_lmk_frames_per_sec_chip": train_lmk["value"],
                  "train_lmk_ms_per_step": train_lmk["ms_per_step"],
                  "train_lmk_mfu": train_lmk["mfu"],
@@ -514,7 +524,9 @@ def main() -> None:
                  "train_scale05_frames_per_sec_chip": train_05["value"],
                  "train_scale05_ms_per_step": train_05["ms_per_step"],
                  "pipeline_train_frames_per_sec_chip": pipe_train["value"],
-                 "protocol_eval_frames_per_sec": proto_eval["value"]}
+                 "protocol_eval_frames_per_sec": proto_eval["value"],
+                 "protocol_eval_devcache_frames_per_sec":
+                     proto_eval_dc["value"]}
     print(json.dumps({
         "metric": "TCAM(ResNet-50+UnetTCAM) eval frames/sec/chip @"
                   f"{crop}px bs{batch}",

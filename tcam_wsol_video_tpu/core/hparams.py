@@ -156,6 +156,17 @@ def get_config(dataset: str) -> Dict[str, Any]:
         # error 7.6e-6 vs the protocol's .001 tau grid) — use uint16
         # when the host link, not the sweep, bounds evaluation
         "eval_transfer": "float32",
+        # keep prepared eval batches (pixels + GT) resident in HBM after
+        # the first pass over a split: eval transforms are deterministic
+        # and eval pipelines iterate unshuffled, so per-epoch
+        # validations / repeated evals skip decode, packing AND the
+        # host->device upload (the wall-clock bound on a tunneled link).
+        # OPT-IN; bit-identical results.  Budget: ~crop^2*3 bytes/img
+        # with h2d_transfer=uint8 (77 MB for 512 imgs @224px), 4x that
+        # in float32 mode; over eval_device_cache_mb the recording is
+        # abandoned and the run streams as before
+        "eval_device_cache": False,
+        "eval_device_cache_mb": 1024,
         # host->device train-batch transfer: float32 ships normalized
         # image + raw separately; uint8 ships ONE uint8 pixel tensor
         # (the step re-derives the normalized input on device) plus

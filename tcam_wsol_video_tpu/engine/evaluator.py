@@ -14,6 +14,7 @@ fast model selection.
 """
 from __future__ import annotations
 
+import weakref
 from typing import Dict
 
 import jax
@@ -29,6 +30,17 @@ from tcam_wsol_video_tpu.metrics.wsol import BoxEvaluator
 
 def cam_threshold_list(interval: float) -> np.ndarray:
     return np.arange(0.0, 1.0, interval)
+
+
+# eval_device_cache=true: prepared eval batches (pixels already resident
+# in HBM + host metadata/GT) keyed weakly by the pipeline object, which
+# the Trainer keeps per split across epochs.  Eval transforms are
+# deterministic and eval pipelines iterate unshuffled, so the first
+# pass's batches are exactly every later pass's batches — per-epoch
+# validations and repeated benchmark runs skip JPEG decode, augmentation
+# packing AND the host->device upload entirely (on a tunneled device
+# link the upload dominates the eval wall-clock).
+_DEVICE_EVAL_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 
@@ -181,11 +193,11 @@ class CamEvaluator:
             (measured 41 ms/img vs 10 ms sweep + 4.5 ms decode), so the
             one-batch software pipeline hides it behind device compute."""
             nonlocal n_correct_cl, n_total, dev_counters, dev_count
-            cams, logits, batch, gt_boxes, gt_valid = pend
-            valid = batch["valid"]
+            cams, logits, meta, gt_boxes, gt_valid = pend
+            valid = meta["valid"]
             logits_np = np.asarray(logits)
             preds = np.argsort(-logits_np, axis=-1, kind="stable")
-            n_correct_cl += int(((preds[:, 0] == batch["label"])
+            n_correct_cl += int(((preds[:, 0] == meta["label"])
                                  & valid).sum())
             n_total += int(valid.sum())
             if self.on_device:
@@ -213,7 +225,7 @@ class CamEvaluator:
                         [gt_boxes[i][gt_valid[i]] for i in idxs])
                     for j, i in enumerate(idxs):
                         evaluator.accumulate_best_iou(
-                            best[j], int(batch["label"][i]), preds[i])
+                            best[j], int(meta["label"][i]), preds[i])
                 else:
                     # cv2 releases the GIL: the per-image contour sweeps
                     # of a batch run in parallel threads (the reference
@@ -231,7 +243,7 @@ class CamEvaluator:
                         for i, boxes_counts in pool.map(sweep, idxs):
                             evaluator.accumulate(
                                 cams_np[i], gt_boxes[i][gt_valid[i]],
-                                int(batch["label"][i]), preds[i],
+                                int(meta["label"][i]), preds[i],
                                 precomputed=boxes_counts)
                 if (self.visual_dump_dir
                         and len(self._visuals) < self.visual_dump_n):
@@ -239,26 +251,66 @@ class CamEvaluator:
                         if len(self._visuals) >= self.visual_dump_n:
                             break
                         self._visuals.append(
-                            (batch["image_id"][i],
-                             batch.get("raw_img", batch.get("raw_u8"))[i],
+                            (meta["image_id"][i],
+                             meta["raw_img"][i],
                              cams_np[i], gt_boxes[i][gt_valid[i]]))
 
-        pending = None
-        for batch in self.pipe.epoch(0):
+        # device-resident batch cache (opt-in; see _DEVICE_EVAL_CACHE):
+        # disabled for visual dumps (they need host raw pixels for the
+        # whole split) and capped by eval_device_cache_mb — over budget
+        # the recording is abandoned, the run streams as before
+        cache_ok = bool(getattr(self.args, "eval_device_cache", False)
+                        and not self.visual_dump_dir)
+        cached = _DEVICE_EVAL_CACHE.get(self.pipe) if cache_ok else None
+        budget = int(getattr(self.args, "eval_device_cache_mb", 1024)
+                     ) * (1 << 20)
+        rec: list = []
+        state = {"record": cache_ok and cached is None, "bytes": 0}
+
+        def _prep(batch):
             images = self._put(batch.get("raw_u8", batch.get("image")))
             targets = self._put(batch["label"])
+            raw = (self._put(batch["raw_img"])
+                   if self.args.crf_post_process and "raw_img" in batch
+                   else None)
+            gt_boxes, gt_valid = self._gt_batch(batch["image_id"])
+            meta = {"label": np.asarray(batch["label"]),
+                    "valid": np.asarray(batch["valid"]),
+                    "image_id": list(batch["image_id"])}
+            if self.visual_dump_dir:
+                meta["raw_img"] = np.asarray(
+                    batch.get("raw_img", batch.get("raw_u8")))
+            return (images, targets, raw, gt_boxes, gt_valid, meta)
+
+        def _batches():
+            if cached is not None:
+                yield from cached
+                return
+            for batch in self.pipe.epoch(0):
+                item = _prep(batch)
+                if state["record"]:
+                    state["bytes"] += sum(
+                        int(x.nbytes) for x in item[:3] if x is not None)
+                    if state["bytes"] > budget:
+                        state["record"] = False
+                        rec.clear()
+                    else:
+                        rec.append(item)
+                yield item
+
+        pending = None
+        for images, targets, raw, gt_boxes, gt_valid, meta in _batches():
             if is_cbox:
                 cls_vars = self.classifier[1]
                 boxes, box_valid, logits = self.eval_step(
                     params, bstats, cls_vars["params"],
                     cls_vars.get("batch_stats", {}), images)
-                valid = batch["valid"]
+                valid = meta["valid"]
                 logits_np = np.asarray(logits)
                 preds = np.argsort(-logits_np, axis=-1, kind="stable")
-                n_correct_cl += int(((preds[:, 0] == batch["label"])
+                n_correct_cl += int(((preds[:, 0] == meta["label"])
                                      & valid).sum())
                 n_total += int(valid.sum())
-                gt_boxes, gt_valid = self._gt_batch(batch["image_id"])
                 boxes_np = np.asarray(boxes)
                 bv = np.asarray(box_valid)
                 for i in range(boxes_np.shape[0]):
@@ -266,23 +318,21 @@ class CamEvaluator:
                         continue
                     evaluator.accumulate(
                         None, gt_boxes[i][gt_valid[i]],
-                        int(batch["label"][i]), preds[i],
+                        int(meta["label"][i]), preds[i],
                         bbox=boxes_np[i].tolist(),
                         bbox_status=int(bv[i]))
                 continue
-            raw = (self._put(batch["raw_img"])
-                   if self.args.crf_post_process and "raw_img" in batch
-                   else None)
             cams, logits = self.eval_step(params, bstats, images,
                                           targets, key, raw)
             if not self.on_device and hasattr(cams, "copy_to_host_async"):
                 cams.copy_to_host_async()
-            gt_boxes, gt_valid = self._gt_batch(batch["image_id"])
             if pending is not None:
                 _process(pending)
-            pending = (cams, logits, batch, gt_boxes, gt_valid)
+            pending = (cams, logits, meta, gt_boxes, gt_valid)
         if pending is not None:
             _process(pending)
+        if state["record"] and rec:
+            _DEVICE_EVAL_CACHE[self.pipe] = rec
 
         if reduce_fn is not None:
             # multi-host: each process evaluated its data shard; sum the

@@ -496,6 +496,67 @@ def test_dp_sharding_matches_single_device(synth):
                                    atol=5e-4)
 
 
+def test_eval_device_cache_bit_identical_and_reused(synth):
+    """--eval_device_cache true: the second eval over the same pipeline
+    reuses the HBM-resident batches (no host pipeline pass) and returns
+    bit-identical counters; a zero budget abandons recording."""
+    from tcam_wsol_video_tpu.engine import evaluator as ev_mod
+    from tcam_wsol_video_tpu.engine.evaluator import CamEvaluator
+    from tcam_wsol_video_tpu.models.factory import (create_model_from_args,
+                                                    init_model)
+
+    kc = KeyChain(0)
+    md = load_split_metadata(synth["metadata_root"], "val")
+    ds = WSOLVideoDataset(md, synth["data_root"], "val", C.YTOV1,
+                          PairedTransform(40, 32, train=False), kc,
+                          crop_size=32)
+    pipe = DataPipeline(ds, 8, kc, shuffle=False, num_workers=1)
+    model = create_model_from_args(_small_args())
+    variables = jax.device_get(
+        init_model(model, kc.key("init"), (1, 32, 32, 3)))
+    key = kc.key("e")
+
+    args_on = _small_args(eval_device_cache=True)
+    res_cold = CamEvaluator(model, args_on, ds, pipe, "val"
+                            ).run(variables, key)
+    assert pipe in ev_mod._DEVICE_EVAL_CACHE          # recorded
+    n_batches = len(ev_mod._DEVICE_EVAL_CACHE[pipe])
+    assert n_batches == 3                             # 24 imgs / bs 8
+
+    calls = {"n": 0}
+    orig_epoch = pipe.epoch
+
+    def counting_epoch(*a, **k):
+        calls["n"] += 1
+        return orig_epoch(*a, **k)
+
+    pipe.epoch = counting_epoch
+    res_warm = CamEvaluator(model, args_on, ds, pipe, "val"
+                            ).run(variables, key)
+    assert calls["n"] == 0                            # host pipeline skipped
+    pipe.epoch = orig_epoch
+    for k in ("maxboxacc_30", "maxboxacc_50", "maxboxacc_70",
+              "localization", "classification", "n_images"):
+        assert res_warm[k] == res_cold[k], k
+
+    # uncached evaluator on a FRESH pipe agrees (cache is a pure replay)
+    pipe2 = DataPipeline(ds, 8, kc, shuffle=False, num_workers=1)
+    res_off = CamEvaluator(model, _small_args(), ds, pipe2, "val"
+                           ).run(variables, key)
+    for k in ("maxboxacc_30", "maxboxacc_50", "maxboxacc_70",
+              "localization", "classification", "n_images"):
+        assert res_off[k] == res_cold[k], k
+    assert pipe2 not in ev_mod._DEVICE_EVAL_CACHE     # knob off: no record
+
+    # zero budget: recording abandoned, streaming still works
+    pipe3 = DataPipeline(ds, 8, kc, shuffle=False, num_workers=1)
+    args_zero = _small_args(eval_device_cache=True, eval_device_cache_mb=0)
+    res_zero = CamEvaluator(model, args_zero, ds, pipe3, "val"
+                            ).run(variables, key)
+    assert pipe3 not in ev_mod._DEVICE_EVAL_CACHE
+    assert res_zero["localization"] == res_cold["localization"]
+
+
 def test_remat_train_step_matches_plain(synth):
     """--remat true (jax.checkpoint around the model forward) is a pure
     memory/FLOPs trade: loss and updated params must match the plain
