@@ -290,7 +290,7 @@ def bench_eval_protocol(variables=None, device_cache: bool = False) -> dict:
     }
 
 
-def bench_pipeline_train() -> "Tuple[dict, Any]":
+def bench_pipeline_train(device_cache: bool = False) -> "Tuple[dict, Any]":
     """SUSTAINED pipeline-fed training: Trainer.train_epoch at 224px
     through the real DataPipeline (native JPEG decode + CAM pairing +
     ROI + prefetch) with the flagship landmark-CRF recipe step — the
@@ -367,7 +367,9 @@ def bench_pipeline_train() -> "Tuple[dict, Any]":
     pipe = DataPipeline(ds, args.batch_size, kc, shuffle=True,
                         num_workers=2,
                         compact=(args.h2d_transfer == "uint8"),
-                        decode_cache_mb=args.decode_cache_mb)
+                        decode_cache_mb=args.decode_cache_mb,
+                        train_device_cache_mb=(1024 if device_cache
+                                               else 0))
     model = create_model_from_args(args)
     trainer = Trainer(args, model, pipe, {}, keychain=kc)
 
@@ -388,9 +390,11 @@ def bench_pipeline_train() -> "Tuple[dict, Any]":
     cache = pipe._decode_cache
     hit_rate = (cache.hits / max(cache.hits + cache.misses, 1)
                 if cache is not None else 0.0)
-    return {
+    tag = ("HBM-resident frames+CAMs, device assemble" if device_cache
+           else "decode cache + CAM pairing + uint8 H2D")
+    out = {
         "metric": "TCAM sustained pipeline-fed train frames/sec/chip "
-                  "(decode cache + CAM pairing + uint8 H2D + lmk-CRF "
+                  f"({tag} + lmk-CRF "
                   "step) @224px bs32, 1 host core, median of 5 epochs",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
@@ -398,7 +402,10 @@ def bench_pipeline_train() -> "Tuple[dict, Any]":
         "frames_per_epoch": frames,
         "fps_epochs": [round(v, 2) for v in fps_runs],
         "decode_cache_hit_rate": round(hit_rate, 3),
-    }, jax.device_get(trainer.state.variables())
+    }
+    if device_cache and pipe._device_feed is not None:
+        out["resident_frames"] = int(pipe._device_feed.resident.sum())
+    return out, jax.device_get(trainer.state.variables())
 
 
 def main() -> None:
@@ -498,6 +505,10 @@ def main() -> None:
         # eval (VERDICT r2 next-steps #3)
         pipe_train, trained_vars = bench_pipeline_train()
         print(json.dumps(pipe_train))
+        # HBM-resident data plane: pixels/CAMs live on device, epochs
+        # upload only the sampling plan (train_device_cache_mb)
+        pipe_train_dc, _ = bench_pipeline_train(device_cache=True)
+        print(json.dumps(pipe_train_dc))
         # evaluate the protocol on the just-trained params: the host
         # sweep's cost depends on CAM smoothness (trained ~17 ms/img vs
         # random-init ~142 ms), and real test evals run on trained models
@@ -524,6 +535,8 @@ def main() -> None:
                  "train_scale05_frames_per_sec_chip": train_05["value"],
                  "train_scale05_ms_per_step": train_05["ms_per_step"],
                  "pipeline_train_frames_per_sec_chip": pipe_train["value"],
+                 "pipeline_train_devcache_frames_per_sec_chip":
+                     pipe_train_dc["value"],
                  "protocol_eval_frames_per_sec": proto_eval["value"],
                  "protocol_eval_devcache_frames_per_sec":
                      proto_eval_dc["value"]}

@@ -76,7 +76,13 @@ def build_data(args: HParams, kc: KeyChain):
                               shard_index=jax.process_index(),
                               compact=(args.h2d_transfer == "uint8"),
                               decode_cache_mb=getattr(
-                                  args, "decode_cache_mb", 0))
+                                  args, "decode_cache_mb", 0),
+                              train_device_cache_mb=(
+                                  getattr(args, "train_device_cache_mb", 0)
+                                  if (args.mesh_dp == 1
+                                      and args.mesh_mp == 1
+                                      and jax.process_count() == 1)
+                                  else 0))
 
     eval_pipes = {}
     for split in (constants.VALIDSET, constants.TESTSET):

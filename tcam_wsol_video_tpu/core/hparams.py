@@ -167,6 +167,17 @@ def get_config(dataset: str) -> Dict[str, Any]:
         # abandoned and the run streams as before
         "eval_device_cache": False,
         "eval_device_cache_mb": 1024,
+        # HBM-resident TRAIN data plane (data/device_feed.py): pixels at
+        # resize resolution + stored CAMs live on the device; each step
+        # uploads only pool rows / crop offsets / flips / labels, and
+        # one jitted assembly crops/flips/fuses/ROIs on device.  OPT-IN
+        # (0 = off); value = the frames-pool HBM budget in MiB
+        # (~R^2*3 bytes/frame: YTOv1-scale 3200 frames @256px = 630 MB).
+        # Over budget, or on multi-device meshes, the pipeline streams
+        # as before.  Pixels match the uint8 posture bit-for-bit; the
+        # CAM side fuses/resizes on device (same torch conventions,
+        # ~1e-7 float differences vs the host matrix path)
+        "train_device_cache_mb": 0,
         # host->device train-batch transfer: float32 ships normalized
         # image + raw separately; uint8 ships ONE uint8 pixel tensor
         # (the step re-derives the normalized input on device) plus

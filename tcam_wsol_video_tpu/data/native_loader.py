@@ -95,6 +95,22 @@ def load_batch(paths: List[str], resize: int, crop: int,
     return out_norm, out_raw
 
 
+def decode_resize_u8(paths: List[str], resize: int) -> np.ndarray:
+    """Decode + resize to (N, resize, resize, 3) uint8 — the pool-fill
+    primitive for the device-resident train feed (data/device_feed.py);
+    the same decode_resize_batch the DecodedFrameCache uses."""
+    assert available(), "native loader unavailable"
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    buf = np.empty((n, resize, resize, 3), np.uint8)
+    rc = _lib.decode_resize_batch(
+        c_paths, n, resize, resize,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != 0:
+        raise IOError(f"failed to decode {paths[rc - 1]}")
+    return buf
+
+
 class DecodedFrameCache:
     """Epoch-persistent LRU cache of post-resize pre-crop uint8 frames.
 

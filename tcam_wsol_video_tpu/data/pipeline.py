@@ -73,7 +73,8 @@ class DataPipeline:
                  keychain: KeyChain, shuffle: bool = True,
                  num_workers: int = 4, num_shards: int = 1,
                  shard_index: int = 0, drop_remainder: bool = False,
-                 compact: bool = False, decode_cache_mb: int = 0):
+                 compact: bool = False, decode_cache_mb: int = 0,
+                 train_device_cache_mb: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.kc = keychain
@@ -97,6 +98,15 @@ class DataPipeline:
             from tcam_wsol_video_tpu.data.native_loader import \
                 DecodedFrameCache
             self._decode_cache = DecodedFrameCache(decode_cache_mb)
+        # train_device_cache_mb > 0: HBM-resident data plane — pixels
+        # and stored CAMs live on the device, epochs upload only the
+        # sampling plan (data/device_feed.DeviceTrainFeed).  Falls back
+        # to streaming when the budget or environment rules it out.
+        self._device_feed = None
+        if train_device_cache_mb > 0:
+            from tcam_wsol_video_tpu.data.device_feed import DeviceTrainFeed
+            feed = DeviceTrainFeed(self, train_device_cache_mb)
+            self._device_feed = feed if feed.enabled else None
 
     def _epoch_indices_valid(self, epoch: int,
                              subset: Optional[np.ndarray] = None):
@@ -223,6 +233,10 @@ class DataPipeline:
     def epoch(self, epoch: int, subset: Optional[np.ndarray] = None
               ) -> Iterator[Dict[str, np.ndarray]]:
         """Yields batches of batch_size*clip_len frames (clip-major)."""
+        if self._device_feed is not None:
+            self.ds.set_epoch(epoch)
+            yield from self._device_feed.epoch(epoch, subset)
+            return
         if self.compact:
             yield from (compact_batch(b)
                         for b in self._epoch_f32(epoch, subset))
