@@ -126,6 +126,19 @@ def bench_train_step(crf_scale: float = 1.0,
         return jax.lax.fori_loop(0, iters, body,
                                  (state, jnp.float32(0.0)))
 
+    # TCAM_COMPILER_OPTIONS: JSON dict of XLA compile options forwarded
+    # per-program via lower().compile() — the only channel that reaches
+    # the server-side TPU compiler on the remote backend (client-side
+    # XLA_FLAGS is parsed by the host CPU binary, which fatals on
+    # TPU-only flags — tools/ab_xla_flags.py).  A/B harness knob, not a
+    # production path; default (unset) is the plain jit above.
+    import os as _os
+    copts = _os.environ.get("TCAM_COMPILER_OPTIONS")
+    if copts:
+        timed_loop = jax.jit(timed_loop.__wrapped__).lower(
+            state, batch_d, switches, seed_w, jax.random.PRNGKey(0)
+        ).compile(compiler_options=json.loads(copts))
+
     _, acc = timed_loop(state, batch_d, switches, seed_w,
                         jax.random.PRNGKey(0))
     _ = float(np.asarray(acc))  # compile + settle (readback)
