@@ -37,7 +37,17 @@ from tcam_wsol_video_tpu.data.transforms import PairedTransform
 
 
 def heat_cam_np(cam: np.ndarray, t: float) -> np.ndarray:
-    e = np.exp((cam + 1e-6) * t)
+    """Reference form exp((cam+1e-6)*t) / max with nan/posinf guards
+    (wsol_loader.py:629-635).  When the peak would overflow, the
+    reference's guard maps EVERY pixel to 0 (inf/inf -> nan -> 0,
+    finite/inf -> 0); reproduce that by checking only the scalar peak so
+    the array exp never overflows (no RuntimeWarning per batch)."""
+    x = (cam + 1e-6) * t
+    with np.errstate(over="ignore"):
+        peak = np.exp(x.max())
+    if not np.isfinite(peak):
+        return np.zeros_like(cam)
+    e = np.exp(x)
     e = e / max(e.max(), 1e-30)
     return np.nan_to_num(e, nan=0.0, posinf=1.0, neginf=0.0)
 

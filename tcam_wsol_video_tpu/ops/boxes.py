@@ -28,13 +28,19 @@ def check_box_convention(boxes: np.ndarray, convention: str = "x0y0x1y1"):
     assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all(), b
 
 
-def resize_bbox(box, image_size, resize_size) -> Tuple[float, float, float, float]:
+def resize_bbox(box, image_size, resize_size) -> Tuple[int, int, int, int]:
     """Scale a box from original image size (w, h) to resize_size (w', h').
-    box: x0, y0, x1, y1."""
-    x0, y0, x1, y1 = box
+    box: x0, y0, x1, y1.  Coordinates int()-truncate after scaling — the
+    reference protocol's GT boxes are integer-valued
+    (/root/reference/dlib/utils/tools.py:231-250, used by BoxEvaluator's
+    _load_resized_boxes and the wsol_loader), which also makes the
+    +1-pixel IoU arithmetic exactly representable in int32 on device
+    (metrics/device_sweep.py relies on this)."""
+    x0, y0, x1, y1 = (float(v) for v in box)
     w_ratio = resize_size[0] / float(image_size[0])
     h_ratio = resize_size[1] / float(image_size[1])
-    return x0 * w_ratio, y0 * h_ratio, x1 * w_ratio, y1 * h_ratio
+    return (int(x0 * w_ratio), int(y0 * h_ratio),
+            int(x1 * w_ratio), int(y1 * h_ratio))
 
 
 def iou_matrix_np(box_a: np.ndarray, box_b: np.ndarray) -> np.ndarray:
