@@ -7,10 +7,15 @@ validation uses the coarse tau sweep above 1000 samples
 (/root/reference/dlib/configure/constants.py:294, train_wsol.py:1473-1480).
 
 TPU-native: the per-image model pass (batch size 1 in the reference,
-inference_wsol.py:332-337) becomes one jitted batched eval step; the cv2
-contour protocol runs on host over the streamed-back CAM batch (exact
-benchmark numbers), or entirely on device via the covering-box sweep for
-fast model selection.
+inference_wsol.py:332-337) becomes one jitted batched eval step.  The
+all-threshold protocol itself runs in one of three modes:
+- eval_sweep=device/auto (TPU default): the EXACT sweep runs on device
+  (metrics/device_sweep — the uint8 protocol has <= 256 distinct
+  binarizations) and only (B, 256, S) hit bits + peaks cross the link;
+  counters are bit-equal to the cv2 protocol;
+- eval_sweep=host: cv2/native union-find sweep over streamed-back CAMs;
+- on_device=True: the approximate covering-box counters
+  (metrics/device_eval) for fast training-time model selection only.
 """
 from __future__ import annotations
 
@@ -62,6 +67,21 @@ class CamEvaluator:
             interval = constants.VALID_FAST_CAM_CURVE_INTERVAL
         self.taus = cam_threshold_list(interval)
         self.on_device = on_device
+        # eval_sweep=device|auto: the EXACT all-threshold sweep runs on
+        # the TPU (metrics/device_sweep — bit-equal counters to the cv2
+        # protocol, proven in tests/test_device_sweep.py) and the host
+        # reads back (B, 256, S) hit bits instead of CAMs.  'auto'
+        # engages it on TPU backends; 'host' keeps the cv2/native host
+        # sweep.  Only the box protocol with multi_contour_eval has the
+        # 256-level structure (uint8 quantization) the sweep exploits.
+        sweep_mode = str(getattr(args, "eval_sweep", "auto"))
+        self.use_dev_sweep = (
+            not on_device and args.task != constants.C_BOX
+            and args.dataset != constants.OpenImages
+            and args.multi_contour_eval
+            and (sweep_mode == "device"
+                 or (sweep_mode == "auto"
+                     and jax.default_backend() == "tpu")))
         self.max_gt_boxes = max_gt_boxes
         self.classifier = classifier
         self.visual_dump_dir = visual_dump_dir
@@ -184,6 +204,37 @@ class CamEvaluator:
 
         is_cbox = self.args.task == constants.C_BOX
 
+        def _process_sweep(pend):
+            """Host side of the device-exact sweep: read back the
+            (B, 256, S) hit bits + peaks (copies started async), count
+            classification, map taus to levels, bump counters.  No CAM
+            ever crosses the link except for the few visual-dump
+            images."""
+            nonlocal n_correct_cl, n_total
+            _tag, hits_d, peak_d, vis_cams, logits, meta, gt_boxes, \
+                gt_valid = pend
+            valid = meta["valid"]
+            logits_np = np.asarray(logits)
+            preds = np.argsort(-logits_np, axis=-1, kind="stable")
+            n_correct_cl += int(((preds[:, 0] == meta["label"])
+                                 & valid).sum())
+            n_total += int(valid.sum())
+            hits = np.asarray(hits_d)
+            peaks = np.asarray(peak_d)
+            idxs = [i for i in range(hits.shape[0]) if valid[i]]
+            for i in idxs:
+                evaluator.accumulate_level_hits(
+                    hits[i], int(peaks[i]), int(meta["label"][i]),
+                    preds[i])
+            if vis_cams is not None:
+                cams_np = dequantize_cams_np(np.asarray(vis_cams))
+                for i in idxs:
+                    if len(self._visuals) >= self.visual_dump_n:
+                        break
+                    self._visuals.append(
+                        (meta["image_id"][i], meta["raw_img"][i],
+                         cams_np[i], gt_boxes[i][gt_valid[i]]))
+
         def _process(pend):
             """Host-side protocol work for one already-dispatched batch:
             readback (started async), classification counting, tau sweep,
@@ -193,6 +244,9 @@ class CamEvaluator:
             (measured 41 ms/img vs 10 ms sweep + 4.5 ms decode), so the
             one-batch software pipeline hides it behind device compute."""
             nonlocal n_correct_cl, n_total, dev_counters, dev_count
+            if isinstance(pend[0], str):
+                _process_sweep(pend)
+                return
             cams, logits, meta, gt_boxes, gt_valid = pend
             valid = meta["valid"]
             logits_np = np.asarray(logits)
@@ -324,11 +378,28 @@ class CamEvaluator:
                 continue
             cams, logits = self.eval_step(params, bstats, images,
                                           targets, key, raw)
-            if not self.on_device and hasattr(cams, "copy_to_host_async"):
-                cams.copy_to_host_async()
+            if self.use_dev_sweep:
+                from tcam_wsol_video_tpu.metrics import device_sweep
+                gv = gt_valid & meta["valid"][:, None]
+                hits_d, peak_d = device_sweep.sweep_batch(
+                    cams, gt_boxes, gv,
+                    tuple(int(s) for s in self.args.iou_threshold_list))
+                for a in (hits_d, peak_d, logits):
+                    if hasattr(a, "copy_to_host_async"):
+                        a.copy_to_host_async()
+                keep_cams = (cams if (self.visual_dump_dir
+                                      and len(self._visuals)
+                                      < self.visual_dump_n) else None)
+                item = ("sweep", hits_d, peak_d, keep_cams, logits,
+                        meta, gt_boxes, gt_valid)
+            else:
+                if (not self.on_device
+                        and hasattr(cams, "copy_to_host_async")):
+                    cams.copy_to_host_async()
+                item = (cams, logits, meta, gt_boxes, gt_valid)
             if pending is not None:
                 _process(pending)
-            pending = (cams, logits, meta, gt_boxes, gt_valid)
+            pending = item
         if pending is not None:
             _process(pending)
         if state["record"] and rec:

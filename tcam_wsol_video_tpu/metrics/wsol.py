@@ -132,6 +132,32 @@ class BoxEvaluator:
             best_per_box, np.concatenate([[0], np.cumsum(counts)[:-1]]))
         self.accumulate_best_iou(per_tau, target, preds_ordered)
 
+    def accumulate_level_hits(self, level_hits: np.ndarray, peak: int,
+                              target: int,
+                              preds_ordered: np.ndarray) -> None:
+        """One image from the on-device exact sweep
+        (metrics/device_sweep.level_hits): level_hits (256, S) bool with
+        S ordered like iou_threshold_list; peak = the uint8-rendered
+        scoremap's max.  Each tau maps to its threshold level with the
+        protocol's own ``int(tau * peak)`` truncation
+        (reference wsol_metrics.py:158: cv2.threshold at
+        ``int(tau * max)``), so the counters are bit-equal to the cv2
+        sweep's."""
+        levels = (np.asarray(self.cam_threshold_list, np.float64)
+                  * int(peak)).astype(np.int64)
+        np.clip(levels, 0, 255, out=levels)
+        hits = level_hits[levels]                       # (n_tau, S)
+        top1_hit = target == preds_ordered[0]
+        top5_hit = target in preds_ordered[:5]
+        for si, sigma in enumerate(self.iou_threshold_list):
+            h = hits[:, si].astype(np.float64)
+            self.num_correct[sigma] += h
+            if top1_hit:
+                self.num_correct_top1[sigma] += h
+            if top5_hit:
+                self.num_correct_top5[sigma] += h
+        self.cnt += 1
+
     def accumulate_best_iou(self, per_tau: np.ndarray, target: int,
                             preds_ordered: np.ndarray) -> None:
         """One image, given its per-tau best-IoU vector (e.g. from the
