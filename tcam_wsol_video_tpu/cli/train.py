@@ -79,9 +79,7 @@ def build_data(args: HParams, kc: KeyChain):
                                   args, "decode_cache_mb", 0),
                               train_device_cache_mb=(
                                   getattr(args, "train_device_cache_mb", 0)
-                                  if (args.mesh_dp == 1
-                                      and args.mesh_mp == 1
-                                      and jax.process_count() == 1)
+                                  if jax.process_count() == 1
                                   else 0))
 
     eval_pipes = {}

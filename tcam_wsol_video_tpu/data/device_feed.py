@@ -30,9 +30,15 @@ CAM side goes through the device resize/fuse instead of the host matrix
 path (same torch conventions, float rounding differences ~1e-7 — the
 same class of difference as the documented uint8 H2D posture).
 
-Single-process, single-device data plane: the feed disables itself (and
-the pipeline streams as before) on multi-device meshes or when the
-frames pool would exceed train_device_cache_mb.
+Meshes: on a single-process multi-device mesh the Trainer calls
+`attach_mesh` — the frames pool's ROWS shard over the dp axis
+(NamedSharding P('dp'): each device holds ~N/dp rows of HBM), the CAM
+pool and per-step plans stay replicated, and assembled batches come out
+sharded over dp like the streamed pipeline's device_put batches.  The
+row gather from the sharded pool is GSPMD-resolved (partial gather +
+reduction over dp).  Multi-PROCESS runs keep streaming: the feed
+disables itself when process_count > 1 or when the frames pool would
+exceed train_device_cache_mb.
 """
 from __future__ import annotations
 
@@ -54,12 +60,13 @@ _insert_jit = jax.jit(_insert_rows, donate_argnums=0)
 
 
 def make_assemble(c: int, r: int, roi_method: str, p_min_area: float,
-                  use_roi: bool, has_store: bool):
-    """Jitted batch assembly from the HBM pools.  Static config baked in;
-    batch size / T are shape-polymorphic through retrace (one compile per
+                  use_roi: bool, has_store: bool, jit: bool = True):
+    """Batch assembly from the HBM pools (jitted standalone by default;
+    jit=False hands the raw body to the K-step scan runner so assembly
+    fuses into the training program).  Static config baked in; batch
+    size / T are shape-polymorphic through retrace (one compile per
     (B, T))."""
 
-    @jax.jit
     def assemble(frames_pool, cams_pool, rows, cam_rows, cam_valid,
                  ys, xs, flips, t, threshs):
         from tcam_wsol_video_tpu.cams.roi import roi_batch
@@ -119,7 +126,7 @@ def make_assemble(c: int, r: int, roi_method: str, p_min_area: float,
                    roi=roi, msk_bbox=msk, fg_size=fg.astype(jnp.float32))
         return out
 
-    return assemble
+    return jax.jit(assemble) if jit else assemble
 
 
 class DeviceTrainFeed:
@@ -174,7 +181,46 @@ class DeviceTrainFeed:
         self.assemble = make_assemble(
             self.c, self.r, ds.roi_method, ds.p_min_area_roi,
             bool(ds.use_roi), self.has_store)
+        # raw body for the K-step scan runner (assembly fuses into the
+        # training program — engine/scan_train.py)
+        self.assemble_raw = make_assemble(
+            self.c, self.r, ds.roi_method, ds.p_min_area_roi,
+            bool(ds.use_roi), self.has_store, jit=False)
+        self.batch_sharding = None   # set by attach_mesh on dp meshes
         self.enabled = True
+
+    def attach_mesh(self, mesh, batch_sharding) -> None:
+        """Shard the data plane over a single-process device mesh
+        (Trainer.__init__ calls this once the mesh exists): frames-pool
+        rows P('dp'), CAM pool replicated, assembled batches sharded
+        over dp.  No-op on 1-device meshes."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        if (not self.enabled or mesh is None
+                or int(np.prod(list(mesh.shape.values()))) <= 1
+                or jax.process_count() > 1):
+            return
+        dp = int(mesh.shape.get("dp", 1))
+        n = self.frames_pool.shape[0]
+        pad = (-n) % dp
+        if pad:
+            self.frames_pool = jnp.concatenate(
+                [self.frames_pool,
+                 jnp.zeros((pad,) + self.frames_pool.shape[1:],
+                           self.frames_pool.dtype)])
+        self.frames_pool = jax.device_put(
+            self.frames_pool, NamedSharding(mesh, P("dp")))
+        self.cams_pool = jax.device_put(self.cams_pool,
+                                        NamedSharding(mesh, P()))
+        self.batch_sharding = batch_sharding
+        # assembled batches land sharded over dp (every output is
+        # batch-major, so one sharding covers the whole dict)
+        ds = self.ds
+        self.assemble = jax.jit(
+            make_assemble(self.c, self.r, ds.roi_method,
+                          ds.p_min_area_roi, bool(ds.use_roi),
+                          self.has_store, jit=False),
+            out_shardings=batch_sharding)
 
     # ------------------------------------------------------- pool filling
     def _decode_resize_u8(self, fids: List[str]) -> np.ndarray:
@@ -206,8 +252,18 @@ class DeviceTrainFeed:
         self.resident[miss] = True
 
     # ------------------------------------------------------------- epochs
-    def epoch(self, epoch: int, subset: Optional[np.ndarray] = None
-              ) -> Iterator[Dict[str, np.ndarray]]:
+    def _plan_epoch(self, epoch: int,
+                    subset: Optional[np.ndarray] = None):
+        """Resolve the WHOLE epoch's sampling plan on the host: per-step
+        arrays of pool rows, crop offsets, flips, labels, CAM windows and
+        thresholds — a few KB per step, the only upload the chunked
+        runner makes besides the train state.  Sampling streams are
+        IDENTICAL to data/pipeline._epoch_native (KeyChain("aug", split,
+        epoch, idx, frame_iter): ys then xs then flip).
+
+        Returns (plan, image_ids, t_heat): plan maps names to stacked
+        (n_steps, target[, T]) numpy arrays; image_ids is the host-only
+        per-step id list."""
         ds = self.ds
         pipe = self.pipe
         ds.set_epoch(epoch)
@@ -221,10 +277,12 @@ class DeviceTrainFeed:
         if ds.sl_tc_knn == 0:
             t_heat = 0.0  # reference heats only when _is_tmp
 
+        steps = []
+        all_ids: List[List[str]] = []
         for s in range(0, len(idxs), pipe.batch_size):
             chunk = idxs[s:s + pipe.batch_size]
             if pipe.drop_remainder and len(chunk) < pipe.batch_size:
-                return
+                break
             fids, labels, seqs, frms = [], [], [], []
             ys, xs, flips = [], [], []
             for idx in chunk:
@@ -258,7 +316,6 @@ class DeviceTrainFeed:
                 flips = [flips[i] for i in sel]
 
             rows = np.asarray([self.row_of[f] for f in fids], np.int32)
-            self._ensure_resident(rows)
             cam_rows = np.zeros((target, t_cap), np.int32)
             cam_valid = np.zeros((target, t_cap), bool)
             threshs = np.full(target, -1.0, np.float32)
@@ -269,17 +326,49 @@ class DeviceTrainFeed:
                         cam_rows[m, w_] = self.row_of[wid]
                         cam_valid[m, w_] = True
                 threshs = self.threshs[rows]
+            steps.append({
+                "rows": rows, "cam_rows": cam_rows,
+                "cam_valid": cam_valid, "ys": np.asarray(ys, np.int32),
+                "xs": np.asarray(xs, np.int32),
+                "flips": np.asarray(flips, bool), "threshs": threshs,
+                "label": np.asarray(labels, np.int32),
+                "seq_iter": np.asarray(seqs, np.float32),
+                "frm_iter": np.asarray(frms, np.float32),
+                "valid": valid,
+            })
+            all_ids.append(fids)
+        if not steps:
+            return {}, [], t_heat
+        plan = {key: np.stack([st[key] for st in steps])
+                for key in steps[0]}
+        return plan, all_ids, t_heat
 
+    def epoch_plan(self, epoch: int,
+                   subset: Optional[np.ndarray] = None):
+        """Plan + bulk pool fill for the K-step-chunked runner
+        (engine/scan_train.py): every frame the epoch touches becomes
+        resident in ONE decode/upload burst before the first dispatch."""
+        plan, all_ids, t_heat = self._plan_epoch(epoch, subset)
+        if plan:
+            self._ensure_resident(plan["rows"].ravel())
+        return plan, all_ids, t_heat
+
+    def epoch(self, epoch: int, subset: Optional[np.ndarray] = None
+              ) -> Iterator[Dict[str, np.ndarray]]:
+        plan, all_ids, t_heat = self._plan_epoch(epoch, subset)
+        n_steps = len(all_ids)
+        for s in range(n_steps):
+            rows = plan["rows"][s]
+            self._ensure_resident(rows)
             dev = self.assemble(
                 self.frames_pool, self.cams_pool, jnp.asarray(rows),
-                jnp.asarray(cam_rows), jnp.asarray(cam_valid),
-                jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
-                jnp.asarray(flips, bool), jnp.float32(t_heat),
-                jnp.asarray(threshs))
+                jnp.asarray(plan["cam_rows"][s]),
+                jnp.asarray(plan["cam_valid"][s]),
+                jnp.asarray(plan["ys"][s]), jnp.asarray(plan["xs"][s]),
+                jnp.asarray(plan["flips"][s]), jnp.float32(t_heat),
+                jnp.asarray(plan["threshs"][s]))
             batch = dict(dev)
-            batch["label"] = np.asarray(labels, np.int32)
-            batch["seq_iter"] = np.asarray(seqs, np.float32)
-            batch["frm_iter"] = np.asarray(frms, np.float32)
-            batch["valid"] = valid
-            batch["image_id"] = fids
+            for key in ("label", "seq_iter", "frm_iter", "valid"):
+                batch[key] = plan[key][s]
+            batch["image_id"] = all_ids[s]
             yield batch

@@ -74,7 +74,8 @@ def make_train_step(model, master_loss: MasterLoss, optimizer, args,
                     seeder_cfg: Optional[TCAMSeederCfg] = None,
                     student_seed_source: bool = False,
                     classifier_model=None,
-                    recompute_std_cams: bool = False):
+                    recompute_std_cams: bool = False,
+                    jit: bool = True):
     """Returns train_step(state, batch, switches, key, seed_tech_weighted
     [, student_params, student_bstats]) -> (new_state, metrics dict).
 
@@ -194,8 +195,16 @@ def make_train_step(model, master_loss: MasterLoss, optimizer, args,
                     fg_size=batch.get("fg_size"),
                     msk_bbox=batch.get("msk_bbox"),
                 )
-            total, holder = master_loss.compute(inputs, state.elb_t,
-                                                switches)
+            loss_chunk = int(getattr(args, "loss_chunk", 0))
+            if loss_chunk > 0 and task != constants.STD_CL:
+                # rematerialized sample-group chunking of the loss side:
+                # backward holds one group's (chunk, P) buffers at a
+                # time — the aggregate that walls bs256 (PARITY r4 #7)
+                total, holder = master_loss.compute_chunked(
+                    inputs, state.elb_t, switches, loss_chunk)
+            else:
+                total, holder = master_loss.compute(inputs, state.elb_t,
+                                                    switches)
             return total, (holder, new_bs, logits)
 
         (loss, (holder, new_bs, logits)), grads = jax.value_and_grad(
@@ -218,7 +227,9 @@ def make_train_step(model, master_loss: MasterLoss, optimizer, args,
         metrics = {"loss": loss, "n_correct": n_correct, "n": n, **holder}
         return new_state, metrics
 
-    return jax.jit(train_step)
+    # jit=False hands back the raw body for callers that fuse it into a
+    # larger program (the K-step scan runner, engine/scan_train.py)
+    return jax.jit(train_step) if jit else train_step
 
 
 def make_forward_fn(model):

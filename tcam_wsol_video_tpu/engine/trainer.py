@@ -141,6 +141,13 @@ class Trainer:
         # host-side counter reduction across processes (no-op single-host)
         self.reduce_fn = lambda x: pmesh.psum_across(x, self.mesh)
 
+        # HBM data plane over the mesh: shard the frames pool's rows
+        # across dp and emit dp-sharded batches (device_feed.attach_mesh;
+        # no-op single-device)
+        feed = getattr(train_pipe, "_device_feed", None)
+        if feed is not None:
+            feed.attach_mesh(self.mesh, self.batch_sharding)
+
         if classifier is not None:
             classifier = (classifier[0],
                           jax.device_put(classifier[1],
@@ -316,8 +323,23 @@ class Trainer:
         host_step = int(self.state.step)
         pending_log = None  # (step, record) deferred one log point
         t0 = time.time()
+        # K-step single-dispatch fast path over the HBM data plane
+        # (engine/scan_train.py): one program per chunk instead of one
+        # dispatch round trip per step.  Engages for the standard train
+        # step only — the student-seed / recompute / C_BOX variants keep
+        # the per-step loop.
+        feed = getattr(self.train_pipe, "_device_feed", None)
+        chunk = int(getattr(args, "train_dispatch_chunk", 0))
+        use_chunked = (feed is not None and chunk > 0
+                       and args.task != constants.C_BOX
+                       and not use_student and not self._recompute_cams)
+        if use_chunked:
+            n_steps, acc = self._run_chunked_epoch(
+                epoch, feed, chunk, switches, seed_weighted, acc,
+                host_step)
         from tcam_wsol_video_tpu.data.pipeline import device_prefetch
-        for bucket in self._train_buckets():
+        for bucket in (iter(()) if use_chunked else
+                       self._train_buckets()):
             subset = self._bucket_subset(bucket)
             for batch in device_prefetch(
                     self.train_pipe.epoch(epoch, subset=subset), size=2,
@@ -403,6 +425,59 @@ class Trainer:
                                                    epoch)
         log({"split": "train", "epoch": epoch, **out})
         return out
+
+    # -------------------------------------------- chunked dispatch path
+    def _run_chunked_epoch(self, epoch, feed, chunk, switches,
+                           seed_weighted, acc, host_step):
+        """Drive the epoch through engine/scan_train.ChunkedEpochRunner:
+        plan upload + K-step scanned programs.  Returns (n_steps, acc).
+        Rolling checkpoints land on chunk boundaries (the modulo
+        crossing inside a chunk saves once, at the chunk end); log_every
+        records are emitted from the stacked per-step losses at epoch
+        end (one readback, no per-step sync)."""
+        args = self.args
+        if (getattr(self, "_chunk_runner", None) is None
+                or self._chunk_runner.chunk != chunk
+                or self._chunk_runner.feed is not feed):
+            from tcam_wsol_video_tpu.engine.scan_train import \
+                ChunkedEpochRunner
+            from tcam_wsol_video_tpu.engine.steps import make_train_step
+            raw = make_train_step(self.model, self.master_loss,
+                                  self.optimizer, args, self._seeder_cfg,
+                                  jit=False)
+            self._chunk_runner = ChunkedEpochRunner(feed, raw, chunk)
+
+        loss_chunks = []  # (global step offset, device losses)
+        counter = {"n": 0}
+
+        def on_chunk(state, offset, k, losses):
+            start = counter["n"] + offset
+            loss_chunks.append((start, losses))
+            before = host_step + start
+            after = before + k
+            if (self.is_master and args.checkpoint_save > 0
+                    and after // args.checkpoint_save
+                    > before // args.checkpoint_save):
+                ckpt.save_checkpoint(self.outd, after, state)
+                ckpt.keep_last_n_checkpoints(self.outd,
+                                             args.keep_last_n_checkpoints)
+                self.save_meters()
+
+        for bucket in self._train_buckets():
+            subset = self._bucket_subset(bucket)
+            self.state, acc, n = self._chunk_runner.run_epoch(
+                self.state, epoch, self.kc, switches, seed_weighted, acc,
+                subset=subset, key_offset=counter["n"],
+                on_chunk=on_chunk)
+            counter["n"] += n
+        if args.log_every:
+            for start, losses in loss_chunks:
+                for j, lv in enumerate(np.asarray(losses)):
+                    i = start + j
+                    if i % args.log_every == 0:
+                        log({"split": "train", "epoch": epoch, "it": i,
+                             "loss": float(lv)}, step=host_step + i + 1)
+        return counter["n"], acc
 
     # --------------------------------------------------------------- eval
     def evaluate(self, epoch: int, split: str,
