@@ -84,6 +84,19 @@ class ElementaryLoss:
     def compute(self, inputs: LossInputs, t: Array) -> Array:
         raise NotImplementedError
 
+    def compute_numden(self, inputs: LossInputs, t: Array
+                       ) -> Tuple[Array, Array]:
+        """Chunk-decomposable form for MasterLoss.compute_chunked:
+        returns (numerator, denominator) such that the loss over the
+        full batch equals sum_c num_c / sum_c den_c over equal-size
+        chunks.  Every mean-reduced loss (elb/entropy/CRF — all divide
+        by a count proportional to the chunk's frame count) uses the
+        default weight = chunk frames; losses whose denominator is
+        data-dependent (CE with ignore_index) override this."""
+        b = jnp.float32(inputs.fcams.shape[0]
+                        if inputs.fcams is not None else 1.0)
+        return self.compute(inputs, t) * b, b
+
 
 class MasterLoss:
     """Container summing elementary losses.
@@ -119,3 +132,48 @@ class MasterLoss:
             holder[loss.__name__] = v
             total = total + v
         return total, holder
+
+    def compute_chunked(self, inputs: LossInputs, t: Array,
+                        switches: Array, chunk: int
+                        ) -> Tuple[Array, Dict[str, Array]]:
+        """Loss-side batch chunking (args.loss_chunk): lax.map a
+        rematerialized loss body over equal-size sample groups so the
+        backward holds ONE group's (chunk, P)-sized intermediates at a
+        time instead of the full batch's — the buffer aggregate that
+        walls bs256 on one chip (PARITY round-4 item 7).  Exactness: per
+        loss, total = sum_c num_c / sum_c den_c (compute_numden); equal
+        chunk sizes make every mean-reduction decompose exactly (CE with
+        ignore_index carries its true valid-count denominator).  Float
+        association differs from the unchunked sum at ~1e-7 relative —
+        the same class as XLA re-fusion differences."""
+        import dataclasses
+        b = inputs.fcams.shape[0]
+        assert chunk >= 1 and b % chunk == 0, (b, chunk)
+        n_chunks = b // chunk
+        if n_chunks == 1:
+            return self.compute(inputs, t, switches)
+        batched, static = {}, {}
+        for f in dataclasses.fields(inputs):
+            v = getattr(inputs, f.name)
+            if (isinstance(v, jnp.ndarray) and v.ndim >= 1
+                    and v.shape[0] == b):
+                batched[f.name] = v.reshape((n_chunks, chunk)
+                                            + v.shape[1:])
+            else:
+                static[f.name] = v
+
+        def body(ch):
+            ci = LossInputs(**static, **ch)
+            nums, dens = [], []
+            for loss in self.losses:
+                num, den = loss.compute_numden(ci, t)
+                nums.append(num)
+                dens.append(den)
+            return jnp.stack(nums), jnp.stack(dens)
+
+        nums, dens = jax.lax.map(jax.checkpoint(body), batched)
+        per_loss = (switches * jnp.sum(nums, axis=0)
+                    / jnp.maximum(jnp.sum(dens, axis=0), 1.0))
+        holder = {loss.__name__: per_loss[i]
+                  for i, loss in enumerate(self.losses)}
+        return jnp.sum(per_loss), holder

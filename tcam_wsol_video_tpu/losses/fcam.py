@@ -37,10 +37,30 @@ def cross_entropy_ignore(fcams_logits: jax.Array, seeds: jax.Array,
     return jnp.sum(nll) / denom
 
 
+def cross_entropy_ignore_sum_count(fcams_logits: jax.Array,
+                                   seeds: jax.Array, ignore_idx: int):
+    """(sum of per-pixel NLL over valid pixels, valid count) — the
+    chunk-decomposable form of cross_entropy_ignore: the valid count is
+    data-dependent, so chunked evaluation must carry the true
+    denominator (core.MasterLoss.compute_chunked)."""
+    valid = seeds != ignore_idx
+    tgt = jnp.where(valid, seeds, 0)
+    logp = jax.nn.log_softmax(fcams_logits.astype(jnp.float32), axis=-1)
+    oh = jax.nn.one_hot(tgt, logp.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * oh, axis=-1)
+    return (jnp.sum(jnp.where(valid, nll, 0.0)),
+            jnp.sum(valid).astype(jnp.float32))
+
+
 class SelfLearningFcams(ElementaryLoss):
     def compute(self, inputs: LossInputs, t) -> jax.Array:
         return self.lambda_ * cross_entropy_ignore(
             inputs.fcams, inputs.seeds, self.seg_ignore_idx)
+
+    def compute_numden(self, inputs: LossInputs, t):
+        s, n = cross_entropy_ignore_sum_count(inputs.fcams, inputs.seeds,
+                                              self.seg_ignore_idx)
+        return self.lambda_ * s, n
 
 
 class ConRanFieldFcams(ElementaryLoss):

@@ -35,6 +35,13 @@ class SelfLearningTcams(ElementaryLoss):
         return self.lambda_ * cross_entropy_ignore(
             inputs.fcams, inputs.seeds, self.seg_ignore_idx)
 
+    def compute_numden(self, inputs: LossInputs, t):
+        from tcam_wsol_video_tpu.losses.fcam import \
+            cross_entropy_ignore_sum_count
+        s, n = cross_entropy_ignore_sum_count(inputs.fcams, inputs.seeds,
+                                              self.seg_ignore_idx)
+        return self.lambda_ * s, n
+
 
 class ConRanFieldTcams(ElementaryLoss):
     def __init__(self, sigma_rgb=15.0, sigma_xy=100.0, scale_factor=1.0,

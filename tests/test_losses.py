@@ -1,5 +1,7 @@
 """Loss-layer tests: ELB piecewise values vs closed form, CE-with-ignore vs
 torch, size losses, master container gating."""
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -115,3 +117,67 @@ def test_rgb_joint_crf_clip_grouping(rng):
 
 
 import jax  # noqa: E402  (used above in late import test)
+
+
+def test_loss_chunked_matches_plain_tcam():
+    """MasterLoss.compute_chunked (args.loss_chunk — the bs256
+    memory-wall lever, PARITY r4 item 7) is an exact decomposition:
+    totals, every per-loss holder entry, AND the fcams gradient agree
+    with the unchunked compute to float-association tolerance, across
+    chunk sizes including clip-aligned ones; CE's data-dependent
+    valid-count denominator is carried exactly."""
+    import jax
+
+    from tcam_wsol_video_tpu.core import constants as C
+    from tcam_wsol_video_tpu.core.hparams import (HParams, finalize,
+                                                  get_config)
+    from tcam_wsol_video_tpu.losses.build import get_loss
+
+    cfg = get_config(C.YTOV1)
+    cfg.update(task=C.TCAM, arch=C.UNETTCAM, crop_size=16,
+               sl_tc=True, crf_tc=True, crf_impl="exact",
+               rgb_jcrf_tc=True, knn_tc=1,
+               max_sizepos_tc=True, max_sizepos_tc_lambda=0.01,
+               size_bg_g_fg_tc=True, empty_out_bb_tc=True)
+    args = finalize(HParams(cfg))
+    ml = get_loss(args)
+    assert len(ml.losses) >= 5
+
+    rng = np.random.default_rng(0)
+    b, h, w = 12, 16, 16                       # 4 clips of 3 frames
+    seeds = rng.integers(0, 2, (b, h, w)).astype(np.int32)
+    # uneven ignore counts per sample: the CE denominator test case
+    seeds[rng.random((b, h, w)) < rng.random((b, 1, 1))] = \
+        args.seg_ignore_idx
+    inp = LossInputs(
+        fcams=jnp.asarray(rng.standard_normal((b, h, w, 2)),
+                          jnp.float32),
+        raw_img=jnp.asarray(rng.random((b, h, w, 3)) * 255, jnp.float32),
+        seeds=jnp.asarray(seeds),
+        fg_size=jnp.asarray(rng.random(b), jnp.float32),
+        msk_bbox=jnp.asarray((rng.random((b, h, w)) > 0.5)
+                             .astype(np.float32)),
+        seq_iter=jnp.asarray(np.repeat(np.arange(4), 3), jnp.float32),
+        frm_iter=jnp.asarray(np.tile(np.arange(3), 4), jnp.float32),
+    )
+    t = jnp.float32(5.0)
+    switches = ml.switches(0)
+    total, holder = ml.compute(inp, t, switches)
+    grad = jax.grad(lambda f: ml.compute(
+        dataclasses.replace(inp, fcams=f), t, switches)[0])(inp.fcams)
+
+    for chunk in (3, 6, 12):
+        tc, hc = ml.compute_chunked(inp, t, switches, chunk)
+        np.testing.assert_allclose(np.asarray(tc), np.asarray(total),
+                                   rtol=2e-5, err_msg=f"chunk={chunk}")
+        for k in holder:
+            np.testing.assert_allclose(np.asarray(hc[k]),
+                                       np.asarray(holder[k]),
+                                       rtol=2e-5, atol=1e-7,
+                                       err_msg=f"{k} chunk={chunk}")
+        gc = jax.grad(lambda f: ml.compute_chunked(
+            dataclasses.replace(inp, fcams=f), t, switches, chunk)[0])(
+            inp.fcams)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(grad),
+                                   rtol=1e-4, atol=1e-7,
+                                   err_msg=f"grad chunk={chunk}")
