@@ -40,7 +40,8 @@ def bench_train_step(crf_scale: float = 1.0,
                      crf_impl: str = "exact",
                      n_landmarks: int = 1024,
                      batch_size: int | None = None,
-                     remat: bool = False) -> dict:
+                     remat: bool = False,
+                     loss_chunk: int = 0) -> dict:
     """Full TCAM stage-2 train step (sl + CRF + size losses).
 
     crf_impl="landmarks" is the flagship TPU recipe: Nystrom landmark
@@ -79,7 +80,7 @@ def bench_train_step(crf_scale: float = 1.0,
                crf_tc_scale=crf_scale, crf_impl=crf_impl,
                crf_n_landmarks=n_landmarks,
                max_sizepos_tc=True, max_sizepos_tc_lambda=0.01,
-               remat=remat)
+               remat=remat, loss_chunk=loss_chunk)
     args = finalize(HParams(cfg))
 
     model = create_model_from_args(args)
@@ -135,7 +136,7 @@ def bench_train_step(crf_scale: float = 1.0,
     import os as _os
     copts = _os.environ.get("TCAM_COMPILER_OPTIONS")
     if copts:
-        timed_loop = jax.jit(timed_loop.__wrapped__).lower(
+        timed_loop = timed_loop.lower(
             state, batch_d, switches, seed_w, jax.random.PRNGKey(0)
         ).compile(compiler_options=json.loads(copts))
 
@@ -153,6 +154,8 @@ def bench_train_step(crf_scale: float = 1.0,
         else f"CRF@scale{crf_scale}"
     if remat:
         tag += "+remat"
+    if loss_chunk:
+        tag += f"+lc{loss_chunk}"
 
     # MFU: analytic dot/conv FLOPs of ONE step (jaxpr walk — XLA's
     # cost_analysis undercounts on this backend, tools/flops.py) over
@@ -176,6 +179,10 @@ def bench_train_step(crf_scale: float = 1.0,
         "tflops_per_step": round(step_flops / 1e12, 3),
         "mfu": round(mfu, 4),
     }
+    if copts:
+        # record that a compiler-options knob was active so bench lines
+        # stay comparable across runs (advisor r4)
+        out["compiler_options"] = json.loads(copts)
     if crf_impl == "landmarks":
         # the fused Pallas landmark filter is opt-in + probe-gated
         # (crf._fused_landmarks_opted_in / _pallas_landmarks_ok): record
@@ -216,13 +223,17 @@ def _bench_synth_root(n_shots: int = 256) -> dict:
             "metadata_root": os.path.join(root, "folds")}
 
 
-def bench_eval_protocol(variables=None, device_cache: bool = False) -> dict:
-    """PROTOCOL-COMPLETE eval: jitted CAM forward + the exact host cv2
-    sweep at cam_curve_interval=.001 (~1000 thresholds/image) + counters
-    — the wall-clock a real test evaluation lives by (reference
-    inference_wsol.py:328-374; its loop is one image at a time).  Note
-    this box runs ONE host core; the host sweep scales linearly with
-    cores on a real TPU host.
+def bench_eval_protocol(variables=None, device_cache: bool = False,
+                        sweep: str = "auto") -> dict:
+    """PROTOCOL-COMPLETE eval at cam_curve_interval=.001 (~1000
+    thresholds/image) + counters — the wall-clock a real test evaluation
+    lives by (reference inference_wsol.py:328-374; its loop is one image
+    at a time).  sweep='auto' engages the on-device EXACT 256-level
+    sweep on TPU (metrics/device_sweep — bit-equal counters, only
+    (B,256,S) hit bits cross the link); sweep='host' keeps the cv2/
+    native host sweep on streamed-back CAMs for comparison.  Note this
+    box runs ONE host core; the host sweep scales linearly with cores
+    on a real TPU host.
 
     `variables`: pass the pipeline-train bench's trained params so the
     sweep sees trained-smooth CAMs — what a real test eval runs on.  The
@@ -248,7 +259,7 @@ def bench_eval_protocol(variables=None, device_cache: bool = False) -> dict:
                compute_dtype="bfloat16", eval_compute_dtype="bfloat16",
                eval_transfer="uint8", h2d_transfer="uint8",
                cam_curve_interval=0.001, num_workers=2, fast_eval=False,
-               eval_device_cache=device_cache)
+               eval_device_cache=device_cache, eval_sweep=sweep)
     args = finalize(HParams(cfg))
     kc = KeyChain(0)
     md = load_split_metadata(synth["metadata_root"], "test")
@@ -291,15 +302,18 @@ def bench_eval_protocol(variables=None, device_cache: bool = False) -> dict:
     fps = float(np.median(fps_runs))
     tag = ("HBM-resident batches" if device_cache else
            "decode cache")
+    sweep_tag = ("on-device exact 256-level sweep, hit-bit readback"
+                 if ev.use_dev_sweep else "exact cv2 sweep @.001")
     return {
         "metric": f"TCAM protocol-complete eval frames/sec ({tag} "
-                  "+ CAM fwd + exact cv2 sweep @.001 + counters, uint8 "
-                  "up / uint8 down) @224px, 1 host core, median of 3",
+                  f"+ CAM fwd + {sweep_tag} + counters, uint8 "
+                  "up) @224px, 1 host core, median of 3",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / REFERENCE_V100_FRAMES_PER_SEC, 3),
         "n_images": int(res["n_images"]),
         "fps_runs": [round(v, 2) for v in fps_runs],
+        "device_sweep": bool(ev.use_dev_sweep),
     }
 
 
@@ -522,11 +536,16 @@ def main() -> None:
         # upload only the sampling plan (train_device_cache_mb)
         pipe_train_dc, _ = bench_pipeline_train(device_cache=True)
         print(json.dumps(pipe_train_dc))
-        # evaluate the protocol on the just-trained params: the host
-        # sweep's cost depends on CAM smoothness (trained ~17 ms/img vs
-        # random-init ~142 ms), and real test evals run on trained models
+        # evaluate the protocol on the just-trained params (real test
+        # evals run on trained models); default sweep=auto engages the
+        # on-device exact 256-level sweep — only hit bits cross the link
         proto_eval = bench_eval_protocol(variables=trained_vars)
         print(json.dumps(proto_eval))
+        # host-sweep comparison line (round-4 posture): streamed-back
+        # CAMs + the native union-find sweep on one host core
+        proto_eval_host = bench_eval_protocol(variables=trained_vars,
+                                              sweep="host")
+        print(json.dumps(proto_eval_host))
         # steady-state variant: eval_device_cache keeps the split's
         # prepared batches in HBM after the warm pass (bit-identical
         # counters) — per-epoch validations and repeated test evals in a
@@ -551,6 +570,8 @@ def main() -> None:
                  "pipeline_train_devcache_frames_per_sec_chip":
                      pipe_train_dc["value"],
                  "protocol_eval_frames_per_sec": proto_eval["value"],
+                 "protocol_eval_host_sweep_frames_per_sec":
+                     proto_eval_host["value"],
                  "protocol_eval_devcache_frames_per_sec":
                      proto_eval_dc["value"]}
     print(json.dumps({

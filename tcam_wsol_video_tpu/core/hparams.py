@@ -156,6 +156,14 @@ def get_config(dataset: str) -> Dict[str, Any]:
         # error 7.6e-6 vs the protocol's .001 tau grid) — use uint16
         # when the host link, not the sweep, bounds evaluation
         "eval_transfer": "float32",
+        # where the exact all-threshold protocol sweep runs: 'auto'
+        # (device on TPU backends, host elsewhere), 'device' (force the
+        # on-TPU sweep — metrics/device_sweep, bit-equal counters, only
+        # (B,256,S) hit bits cross the link), 'host' (cv2/native sweep
+        # on streamed-back CAMs).  Device sweep applies to the box
+        # protocol with multi_contour_eval; other combinations fall
+        # back to host automatically
+        "eval_sweep": "auto",
         # keep prepared eval batches (pixels + GT) resident in HBM after
         # the first pass over a split: eval transforms are deterministic
         # and eval pipelines iterate unshuffled, so per-epoch
@@ -178,6 +186,23 @@ def get_config(dataset: str) -> Dict[str, Any]:
         # CAM side fuses/resizes on device (same torch conventions,
         # ~1e-7 float differences vs the host matrix path)
         "train_device_cache_mb": 0,
+        # K-step single-dispatch training over the HBM data plane
+        # (engine/scan_train.py): the epoch's sampling plan uploads
+        # once and one jitted program lax.scans K steps (assembly fused
+        # with the train step), deleting the per-step host round trip
+        # that bounds the sustained line on high-latency links.  Takes
+        # effect only when the device feed is active
+        # (train_device_cache_mb > 0); 0 = per-step dispatch.  Rolling
+        # mid-epoch checkpoints land on chunk boundaries
+        "train_dispatch_chunk": 8,
+        # loss-side batch chunking (frames per group; 0 = off): lax.map
+        # a rematerialized loss body over equal sample groups so the
+        # backward holds one group's (chunk, P) buffers at a time —
+        # extends the batch frontier past the bs256 memory wall
+        # (PARITY round-4 item 7).  Must divide batch_size*clip_len.
+        # Exact for every recipe loss (CE carries its true valid-count
+        # denominator); float association differs ~1e-7
+        "loss_chunk": 0,
         # host->device train-batch transfer: float32 ships normalized
         # image + raw separately; uint8 ships ONE uint8 pixel tensor
         # (the step re-derives the normalized input on device) plus
@@ -559,6 +584,7 @@ def finalize(args: HParams) -> HParams:
                 and args.dataset == constants.OpenImages), \
         "eval_transfer=uint8 is box-protocol only (PxAP needs float CAMs)"
     assert args.h2d_transfer in ("float32", "uint8"), args.h2d_transfer
+    assert args.eval_sweep in ("auto", "device", "host"), args.eval_sweep
     assert args.sl_tc_roi_method in constants.ROI_SELECT
     assert args.sl_tc_knn_mode in constants.TIME_DEPENDENCY
 

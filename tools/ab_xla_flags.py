@@ -45,7 +45,7 @@ CHILD = r"""
 import json, sys
 sys.path.insert(0, {repo!r})
 from bench import bench_train_step
-out = bench_train_step(crf_impl="landmarks", n_landmarks=512,
+out = bench_train_step(crf_impl="landmarks", n_landmarks={m},
                        batch_size={bs})
 print("ABRESULT " + json.dumps({{"ms": out["ms_per_step"],
                                  "fps": out["value"],
@@ -53,15 +53,20 @@ print("ABRESULT " + json.dumps({{"ms": out["ms_per_step"],
 """
 
 
-def run_variant(name: str, opts: dict | None, bs: int) -> dict | None:
+def run_variant(name: str, opts: dict | None, bs: int,
+                m: int) -> dict | None:
     env = dict(os.environ)
     if opts is not None:
         env["TCAM_COMPILER_OPTIONS"] = json.dumps(opts)
     else:
         env.pop("TCAM_COMPILER_OPTIONS", None)
-    proc = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO, bs=bs)],
-        env=env, capture_output=True, text=True, timeout=1200)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", CHILD.format(repo=REPO, bs=bs, m=m)],
+            env=env, capture_output=True, text=True, timeout=1200)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"[{name}] FAILED: timeout after 1200s\n")
+        return None
     for line in proc.stdout.splitlines():
         if line.startswith("ABRESULT "):
             return json.loads(line[len("ABRESULT "):])
@@ -71,15 +76,22 @@ def run_variant(name: str, opts: dict | None, bs: int) -> dict | None:
 
 
 def main() -> None:
-    bs = 32 if "--quick" in sys.argv else 128
+    # the two production configs the round-4 verdict asks to close:
+    # flagship throughput (bs128/M512) and the validated M=1024 recipe
+    # at its bs32 shape; --quick runs bs32/M512 only
+    configs = ([(32, 512)] if "--quick" in sys.argv
+               else [(128, 512), (32, 1024)])
     results = {}
-    for name, opts in VARIANTS:
-        r = run_variant(name, opts, bs)
-        results[name] = r
-        desc = json.dumps(opts) if opts else "(none)"
-        print(f"{name:10s} {desc:55s} "
-              + (f"{r['ms']:7.1f} ms  {r['fps']:7.1f} f/s  mfu {r['mfu']:.4f}"
-                 if r else "FAILED"), flush=True)
+    for bs, m in configs:
+        for name, opts in VARIANTS:
+            key = f"bs{bs}_m{m}_{name}"
+            r = run_variant(name, opts, bs, m)
+            results[key] = r
+            desc = json.dumps(opts) if opts else "(none)"
+            print(f"{key:22s} {desc:50s} "
+                  + (f"{r['ms']:7.1f} ms  {r['fps']:7.1f} f/s  "
+                     f"mfu {r['mfu']:.4f}" if r else "FAILED"),
+                  flush=True)
     print(json.dumps(results))
 
 
