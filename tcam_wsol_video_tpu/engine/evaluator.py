@@ -88,6 +88,10 @@ class CamEvaluator:
         self.visual_dump_n = visual_dump_n
         self.sharding = sharding  # batch sharding over the dp mesh axis
         self._visuals = []  # (image_id, raw_img, cam, gt_boxes)
+        self._sweep_fallbacks = 0  # images host-swept by the cap flag
+        self._sweep_seen = 0       # images that went through the sweep
+        self._sweep_disabled = False  # adaptive: >50% fallbacks
+        self._scan_fns: Dict = {}  # cached-split single-dispatch programs
         # eval runs under its own dtype policy (the inference analogue of
         # the reference's AMP autocast being train-only): rebuild the model
         # at eval_compute_dtype when it differs from the train dtype
@@ -204,110 +208,114 @@ class CamEvaluator:
 
         is_cbox = self.args.task == constants.C_BOX
 
-        def _process_sweep(pend):
-            """Host side of the device-exact sweep: read back the
-            (B, 256, S) hit bits + peaks (copies started async), count
-            classification, map taus to levels, bump counters.  No CAM
-            ever crosses the link except for the few visual-dump
-            images."""
+        def _count_cl(logits_np, meta):
             nonlocal n_correct_cl, n_total
-            _tag, hits_d, peak_d, vis_cams, logits, meta, gt_boxes, \
-                gt_valid = pend
             valid = meta["valid"]
-            logits_np = np.asarray(logits)
             preds = np.argsort(-logits_np, axis=-1, kind="stable")
             n_correct_cl += int(((preds[:, 0] == meta["label"])
                                  & valid).sum())
             n_total += int(valid.sum())
-            hits = np.asarray(hits_d)
-            peaks = np.asarray(peak_d)
+            return preds, valid
+
+        def _process_sweep_np(hits, peaks, fb, cams_np, logits_np, meta,
+                              gt_boxes, gt_valid):
+            """Host side of the device-exact sweep for ONE batch, all
+            arrays already on host: count classification, map taus to
+            levels, bump counters; host-sweep the images whose run
+            count exceeded the sweep's static per-row cap (cams_np is
+            provided whenever the group contained any)."""
+            preds, valid = _count_cl(logits_np, meta)
             idxs = [i for i in range(hits.shape[0]) if valid[i]]
+            from tcam_wsol_video_tpu.metrics import native_sweep
             for i in idxs:
-                evaluator.accumulate_level_hits(
-                    hits[i], int(peaks[i]), int(meta["label"][i]),
-                    preds[i])
-            if vis_cams is not None:
-                cams_np = dequantize_cams_np(np.asarray(vis_cams))
-                for i in idxs:
-                    if len(self._visuals) >= self.visual_dump_n:
-                        break
-                    self._visuals.append(
-                        (meta["image_id"][i], meta["raw_img"][i],
-                         cams_np[i], gt_boxes[i][gt_valid[i]]))
-
-        def _process(pend):
-            """Host-side protocol work for one already-dispatched batch:
-            readback (started async), classification counting, tau sweep,
-            counter accumulation.  Runs while the NEXT batch's eval step
-            executes on the device — on a tunneled/remote backend the
-            device->host CAM copy dominates the protocol wall-clock
-            (measured 41 ms/img vs 10 ms sweep + 4.5 ms decode), so the
-            one-batch software pipeline hides it behind device compute."""
-            nonlocal n_correct_cl, n_total, dev_counters, dev_count
-            if isinstance(pend[0], str):
-                _process_sweep(pend)
-                return
-            cams, logits, meta, gt_boxes, gt_valid = pend
-            valid = meta["valid"]
-            logits_np = np.asarray(logits)
-            preds = np.argsort(-logits_np, axis=-1, kind="stable")
-            n_correct_cl += int(((preds[:, 0] == meta["label"])
-                                 & valid).sum())
-            n_total += int(valid.sum())
-            if self.on_device:
-                if cams.dtype == jnp.uint16:    # eval_transfer=uint16
-                    cams = cams.astype(jnp.float32) / 65535.0
-                elif cams.dtype == jnp.uint8:   # eval_transfer=uint8
-                    cams = cams.astype(jnp.float32) / 255.0
-                gt_valid_dev = jnp.asarray(gt_valid & valid[:, None])
-                c = device_eval.batch_counters(
-                    cams, jnp.asarray(gt_boxes), gt_valid_dev, taus_dev,
-                    sigmas)
-                dev_counters = c if dev_counters is None else dev_counters + c
-                dev_count += int(valid.sum())
-            else:
-                cams_np = dequantize_cams_np(np.asarray(cams))
-                idxs = [i for i in range(cams_np.shape[0]) if valid[i]]
-                from tcam_wsol_video_tpu.metrics import native_sweep
-                if (evaluator.multi_contour_eval and idxs
-                        and native_sweep.available()):
-                    # native all-threshold union-find sweep: one C call
-                    # per batch replaces ~1000 cv2 passes per image
-                    # (exactness: test_native_sweep_matches_cv2_protocol)
-                    best, _ = native_sweep.sweep_best_iou(
-                        cams_np[idxs], evaluator.cam_threshold_list,
-                        [gt_boxes[i][gt_valid[i]] for i in idxs])
-                    for j, i in enumerate(idxs):
+                if fb[i]:
+                    self._sweep_fallbacks += 1
+                    if (evaluator.multi_contour_eval
+                            and native_sweep.available()):
+                        best, _ = native_sweep.sweep_best_iou(
+                            cams_np[i:i + 1],
+                            evaluator.cam_threshold_list,
+                            [gt_boxes[i][gt_valid[i]]])
                         evaluator.accumulate_best_iou(
-                            best[j], int(meta["label"][i]), preds[i])
+                            best[0], int(meta["label"][i]), preds[i])
+                    else:
+                        evaluator.accumulate(
+                            cams_np[i], gt_boxes[i][gt_valid[i]],
+                            int(meta["label"][i]), preds[i])
                 else:
-                    # cv2 releases the GIL: the per-image contour sweeps
-                    # of a batch run in parallel threads (the reference
-                    # runs them serially, inference_wsol.py:328-374)
-                    def sweep(i):
-                        from tcam_wsol_video_tpu.metrics.wsol import \
-                            scoremap_to_boxes
-                        return i, scoremap_to_boxes(
-                            cams_np[i], evaluator.cam_threshold_list,
-                            evaluator.multi_contour_eval)
+                    evaluator.accumulate_level_hits(
+                        hits[i], int(peaks[i]), int(meta["label"][i]),
+                        preds[i])
+            _collect_visuals(idxs, cams_np, meta, gt_boxes, gt_valid)
 
-                    import concurrent.futures as cf
-                    with cf.ThreadPoolExecutor(
-                            min(8, max(1, len(idxs)))) as pool:
-                        for i, boxes_counts in pool.map(sweep, idxs):
-                            evaluator.accumulate(
-                                cams_np[i], gt_boxes[i][gt_valid[i]],
-                                int(meta["label"][i]), preds[i],
-                                precomputed=boxes_counts)
-                if (self.visual_dump_dir
-                        and len(self._visuals) < self.visual_dump_n):
-                    for i in idxs:
-                        if len(self._visuals) >= self.visual_dump_n:
-                            break
-                        self._visuals.append(
-                            (meta["image_id"][i],
-                             meta["raw_img"][i],
-                             cams_np[i], gt_boxes[i][gt_valid[i]]))
+        def _process_host_np(cams_np, logits_np, meta, gt_boxes,
+                             gt_valid):
+            """Exact host protocol for ONE batch, arrays already read
+            back: native all-threshold union-find sweep (one C call per
+            batch replaces ~1000 cv2 passes per image) or threaded cv2
+            sweeps."""
+            preds, valid = _count_cl(logits_np, meta)
+            idxs = [i for i in range(cams_np.shape[0]) if valid[i]]
+            from tcam_wsol_video_tpu.metrics import native_sweep
+            if (evaluator.multi_contour_eval and idxs
+                    and native_sweep.available()):
+                best, _ = native_sweep.sweep_best_iou(
+                    cams_np[idxs], evaluator.cam_threshold_list,
+                    [gt_boxes[i][gt_valid[i]] for i in idxs])
+                for j, i in enumerate(idxs):
+                    evaluator.accumulate_best_iou(
+                        best[j], int(meta["label"][i]), preds[i])
+            else:
+                # cv2 releases the GIL: per-image contour sweeps of a
+                # batch run in parallel threads (the reference runs
+                # them serially, inference_wsol.py:328-374)
+                def sweep(i):
+                    from tcam_wsol_video_tpu.metrics.wsol import \
+                        scoremap_to_boxes
+                    return i, scoremap_to_boxes(
+                        cams_np[i], evaluator.cam_threshold_list,
+                        evaluator.multi_contour_eval)
+
+                import concurrent.futures as cf
+                with cf.ThreadPoolExecutor(
+                        min(8, max(1, len(idxs)))) as pool:
+                    for i, boxes_counts in pool.map(sweep, idxs):
+                        evaluator.accumulate(
+                            cams_np[i], gt_boxes[i][gt_valid[i]],
+                            int(meta["label"][i]), preds[i],
+                            precomputed=boxes_counts)
+            _collect_visuals(idxs, cams_np, meta, gt_boxes, gt_valid)
+
+        def _collect_visuals(idxs, cams_np, meta, gt_boxes, gt_valid):
+            if not (self.visual_dump_dir
+                    and len(self._visuals) < self.visual_dump_n
+                    and cams_np is not None):
+                return
+            for i in idxs:
+                if len(self._visuals) >= self.visual_dump_n:
+                    break
+                self._visuals.append(
+                    (meta["image_id"][i], meta["raw_img"][i],
+                     cams_np[i], gt_boxes[i][gt_valid[i]]))
+
+        def _process_dev_counters(pend):
+            """on_device fast path: accumulate approximate counters on
+            the device itself — no per-batch host sync at all."""
+            nonlocal dev_counters, dev_count
+            cams, logits, meta, gt_boxes, gt_valid = pend
+            logits_np = np.asarray(logits)
+            _, valid = _count_cl(logits_np, meta)
+            if cams.dtype == jnp.uint16:        # eval_transfer=uint16
+                cams = cams.astype(jnp.float32) / 65535.0
+            elif cams.dtype == jnp.uint8:       # eval_transfer=uint8
+                cams = cams.astype(jnp.float32) / 255.0
+            gt_valid_dev = jnp.asarray(gt_valid & valid[:, None])
+            c = device_eval.batch_counters(
+                cams, jnp.asarray(gt_boxes), gt_valid_dev, taus_dev,
+                sigmas)
+            dev_counters = c if dev_counters is None else dev_counters + c
+            dev_count += int(valid.sum())
+
 
         # device-resident batch cache (opt-in; see _DEVICE_EVAL_CACHE):
         # disabled for visual dumps (they need host raw pixels for the
@@ -322,9 +330,16 @@ class CamEvaluator:
         state = {"record": cache_ok and cached is None, "bytes": 0}
 
         def _prep(batch):
-            images = self._put(batch.get("raw_u8", batch.get("image")))
-            targets = self._put(batch["label"])
-            raw = (self._put(batch["raw_img"])
+            # device_put per batch only where required (cache recording
+            # keeps pixels resident in HBM; sharded eval needs placed
+            # arrays; C_BOX/on_device consume per batch) — the grouped
+            # scan path uploads each group as ONE stacked transfer
+            put = (state["record"] or self.sharding is not None
+                   or is_cbox or self.on_device)
+            conv = self._put if put else np.asarray
+            images = conv(batch.get("raw_u8", batch.get("image")))
+            targets = conv(batch["label"])
+            raw = (conv(batch["raw_img"])
                    if self.args.crf_post_process and "raw_img" in batch
                    else None)
             gt_boxes, gt_valid = self._gt_batch(batch["image_id"])
@@ -352,8 +367,129 @@ class CamEvaluator:
                         rec.append(item)
                 yield item
 
-        pending = None
-        for images, targets, raw, gt_boxes, gt_valid, meta in _batches():
+        def _scan_eval_cached(items):
+            """HBM-cached splits evaluate in ONE dispatched program: a
+            lax.scan of the eval step (+ optionally the device sweep)
+            over every cached batch, with ALL outputs packed into a
+            single uint8 buffer (logits/cams bitcast) so the host pays
+            exactly one sync.  On the tunneled backend each dispatch
+            costs ~0.5-1.5 s and each sync ~a round trip regardless of
+            size — this path pays one of each per evaluation pass."""
+            sweep = self.use_dev_sweep and not self._sweep_disabled
+            sig = tuple(int(s) for s in self.args.iou_threshold_list)
+            imgs = jnp.stack([jnp.asarray(it[0]) for it in items])
+            tgts = jnp.stack([jnp.asarray(it[1]) for it in items])
+            has_raw = items[0][2] is not None
+            raws = (jnp.stack([jnp.asarray(it[2]) for it in items])
+                    if has_raw else None)
+            gts = jnp.asarray(np.stack(
+                [it[3] for it in items]).astype(np.int32))
+            gvs = jnp.asarray(np.stack(
+                [it[4] & it[5]["valid"][:, None] for it in items]))
+            fn = self._scan_fns.get((sweep, has_raw))
+            if fn is None:
+                eval_step = self.eval_step
+
+                def _pack(arrs):
+                    out = []
+                    for a in arrs:
+                        if a.dtype in (jnp.bool_, jnp.uint8):
+                            out.append(a.astype(jnp.uint8).ravel())
+                        else:
+                            out.append(jax.lax.bitcast_convert_type(
+                                a, jnp.uint8).ravel())
+                    return jnp.concatenate(out)
+
+                @jax.jit
+                def run_all(params, bstats, images, targets, gt, gv,
+                            raw_all, key):
+                    def body(_, xs):
+                        im, tg, g, v, rw = xs
+                        cams, logits = eval_step(params, bstats, im, tg,
+                                                 key, rw)
+                        if sweep:
+                            from tcam_wsol_video_tpu.metrics import \
+                                device_sweep
+                            q = device_sweep.render_uint8(cams)
+                            hits, peak, fb = device_sweep.level_hits(
+                                q, g, v, sig)
+                            return None, (cams, logits, hits, peak, fb)
+                        return None, (cams, logits)
+                    if raw_all is None:
+                        _, outs = jax.lax.scan(
+                            lambda c, xs: body(c, xs + (None,)), None,
+                            (images, targets, gt, gv))
+                    else:
+                        _, outs = jax.lax.scan(
+                            body, None,
+                            (images, targets, gt, gv, raw_all))
+                    if sweep:
+                        cams, logits, hits, peak, fb = outs
+                        small = _pack([hits, peak.astype(jnp.uint8),
+                                       fb, logits])
+                        return small, cams
+                    cams, logits = outs
+                    return _pack([cams, logits]), cams
+                self._scan_fns[(sweep, has_raw)] = fn = run_all
+
+            packed_d, cams_d = fn(params, bstats, imgs, tgts, gts, gvs,
+                                  raws, key)
+            packed = np.asarray(packed_d)          # the ONE sync
+            s_b = len(items)
+            bsz = items[0][1].shape[0]
+            n_sig = len(sig)
+            if sweep:
+                off = 0
+                hits = packed[off:off + s_b * bsz * 256 * n_sig].reshape(
+                    s_b, bsz, 256, n_sig).astype(bool)
+                off += s_b * bsz * 256 * n_sig
+                peaks = packed[off:off + s_b * bsz].reshape(s_b, bsz)
+                off += s_b * bsz
+                fbs = packed[off:off + s_b * bsz].reshape(
+                    s_b, bsz).astype(bool)
+                off += s_b * bsz
+                logits = packed[off:].view(np.float32).reshape(
+                    s_b, bsz, -1)
+                cams_np = None
+                if fbs.any():                      # rare second sync
+                    cams_np = dequantize_cams_np(np.asarray(cams_d))
+                for k, it in enumerate(items):
+                    _process_sweep_np(
+                        hits[k], peaks[k], fbs[k],
+                        cams_np[k] if cams_np is not None else None,
+                        logits[k], it[5], it[3], it[4])
+                self._sweep_seen += sum(
+                    int(it[5]["valid"].sum()) for it in items)
+                if (not self._sweep_disabled
+                        and self._sweep_fallbacks
+                        > 0.5 * max(self._sweep_seen, 1)):
+                    self._sweep_disabled = True
+            else:
+                cam_dt = np.dtype(str(cams_d.dtype))
+                cam_n = s_b * bsz * np.prod(cams_d.shape[2:])
+                cam_bytes = int(cam_n) * cam_dt.itemsize
+                cams_np = packed[:cam_bytes].view(cam_dt).reshape(
+                    (s_b, bsz) + cams_d.shape[2:])
+                logits = packed[cam_bytes:].view(np.float32).reshape(
+                    s_b, bsz, -1)
+                for k, it in enumerate(items):
+                    _process_host_np(dequantize_cams_np(cams_np[k]),
+                                     logits[k], it[5], it[3], it[4])
+
+        # HBM-cached splits: one dispatched program + one sync
+        single = (cached is not None and not is_cbox
+                  and not self.on_device)
+        if single:
+            _scan_eval_cached(cached)
+
+        # streaming path: group eval_pipeline_depth prepped batches and
+        # evaluate each group as ONE scanned program + ONE packed sync
+        # (same machinery as the cached path; batches stack into a
+        # single fused host->device upload when not recording)
+        depth = max(1, int(getattr(self.args, "eval_pipeline_depth", 8)))
+        group: list = []
+        for item in (iter(()) if single else _batches()):
+            images, targets, raw, gt_boxes, gt_valid, meta = item
             if is_cbox:
                 cls_vars = self.classifier[1]
                 boxes, box_valid, logits = self.eval_step(
@@ -376,32 +512,18 @@ class CamEvaluator:
                         bbox=boxes_np[i].tolist(),
                         bbox_status=int(bv[i]))
                 continue
-            cams, logits = self.eval_step(params, bstats, images,
-                                          targets, key, raw)
-            if self.use_dev_sweep:
-                from tcam_wsol_video_tpu.metrics import device_sweep
-                gv = gt_valid & meta["valid"][:, None]
-                hits_d, peak_d = device_sweep.sweep_batch(
-                    cams, gt_boxes, gv,
-                    tuple(int(s) for s in self.args.iou_threshold_list))
-                for a in (hits_d, peak_d, logits):
-                    if hasattr(a, "copy_to_host_async"):
-                        a.copy_to_host_async()
-                keep_cams = (cams if (self.visual_dump_dir
-                                      and len(self._visuals)
-                                      < self.visual_dump_n) else None)
-                item = ("sweep", hits_d, peak_d, keep_cams, logits,
-                        meta, gt_boxes, gt_valid)
-            else:
-                if (not self.on_device
-                        and hasattr(cams, "copy_to_host_async")):
-                    cams.copy_to_host_async()
-                item = (cams, logits, meta, gt_boxes, gt_valid)
-            if pending is not None:
-                _process(pending)
-            pending = item
-        if pending is not None:
-            _process(pending)
+            if self.on_device:
+                cams, logits = self.eval_step(params, bstats, images,
+                                              targets, key, raw)
+                _process_dev_counters((cams, logits, meta, gt_boxes,
+                                       gt_valid))
+                continue
+            group.append(item)
+            if len(group) >= depth:
+                _scan_eval_cached(group)
+                group = []
+        if group:
+            _scan_eval_cached(group)
         if state["record"] and rec:
             _DEVICE_EVAL_CACHE[self.pipe] = rec
 
@@ -439,6 +561,9 @@ class CamEvaluator:
             out["curves"] = evaluator.curves
 
         out["n_images"] = n_total
+        if self.use_dev_sweep:
+            # observability: images host-swept by the run-cap flag
+            out["sweep_fallbacks"] = self._sweep_fallbacks
         # per-IoU ordered prediction sheets + multi-panel figures at the
         # best taus (reference _draw_some_best_pred,
         # inference_wsol.py:700-1071)

