@@ -314,6 +314,7 @@ def bench_eval_protocol(variables=None, device_cache: bool = False,
         "n_images": int(res["n_images"]),
         "fps_runs": [round(v, 2) for v in fps_runs],
         "device_sweep": bool(ev.use_dev_sweep),
+        "sweep_fallbacks": int(res.get("sweep_fallbacks", 0)),
     }
 
 

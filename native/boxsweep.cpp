@@ -258,18 +258,29 @@ int sweep_best_iou(const float* cams, int n, int h, int w,
     sweep_one(q.data(), h, w, lb);
     const float* g = gt + static_cast<size_t>(i) * max_gt * 4;
     int ng = gt_count[i];
+    // ~1000 taus collapse onto <= 256 quantized levels: compute the
+    // per-level best-IoU once, fill taus from the cache (fragmented
+    // maps have hundreds of boxes per level — without the dedupe the
+    // IoU loop ran ~4x per level)
+    double level_best[256];
+    int level_done[256];
+    std::memset(level_done, 0, sizeof(level_done));
     for (int k = 0; k < n_tau; ++k) {
       int t = static_cast<int>(taus[k] * peak);   // int() truncation
       if (t > 255) t = 255;
       if (t < 0) t = 0;
       int b0 = lb.level_ptr[t], b1 = lb.level_ptr[t + 1];
-      double bi = 0.0;
-      for (int b = b0; b < b1; ++b) {
-        const float* box = lb.flat.data() + static_cast<size_t>(b) * 4;
-        for (int gidx = 0; gidx < ng; ++gidx)
-          bi = std::max(bi, iou_plus1(box, g + gidx * 4));
+      if (!level_done[t]) {
+        double bi = 0.0;
+        for (int b = b0; b < b1; ++b) {
+          const float* box = lb.flat.data() + static_cast<size_t>(b) * 4;
+          for (int gidx = 0; gidx < ng; ++gidx)
+            bi = std::max(bi, iou_plus1(box, g + gidx * 4));
+        }
+        level_best[t] = bi;
+        level_done[t] = 1;
       }
-      best[static_cast<size_t>(i) * n_tau + k] = bi;
+      best[static_cast<size_t>(i) * n_tau + k] = level_best[t];
       nboxes[static_cast<size_t>(i) * n_tau + k] = b1 - b0;
     }
   }

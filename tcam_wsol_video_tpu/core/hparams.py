@@ -164,6 +164,11 @@ def get_config(dataset: str) -> Dict[str, Any]:
         # protocol with multi_contour_eval; other combinations fall
         # back to host automatically
         "eval_sweep": "auto",
+        # eval dispatch pipeline depth: batches kept in flight on the
+        # device before the first host-side sync.  On high-latency
+        # links 1-deep overlap pays ~one round trip PER batch; N-deep
+        # pays it once and then streams at max(device, host) rate
+        "eval_pipeline_depth": 8,
         # keep prepared eval batches (pixels + GT) resident in HBM after
         # the first pass over a split: eval transforms are deterministic
         # and eval pipelines iterate unshuffled, so per-epoch
