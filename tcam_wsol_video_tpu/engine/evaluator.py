@@ -367,14 +367,16 @@ class CamEvaluator:
                         rec.append(item)
                 yield item
 
-        def _scan_eval_cached(items):
-            """HBM-cached splits evaluate in ONE dispatched program: a
-            lax.scan of the eval step (+ optionally the device sweep)
-            over every cached batch, with ALL outputs packed into a
-            single uint8 buffer (logits/cams bitcast) so the host pays
-            exactly one sync.  On the tunneled backend each dispatch
-            costs ~0.5-1.5 s and each sync ~a round trip regardless of
-            size — this path pays one of each per evaluation pass."""
+        def _dispatch_group(items):
+            """Dispatch ONE scanned program over a group of batches: a
+            lax.scan of the eval step (+ optionally the device sweep),
+            with ALL outputs packed into a single uint8 buffer
+            (logits/cams bitcast) so the host later pays exactly one
+            sync.  On the tunneled backend each dispatch costs
+            ~0.5-1.5 s and each sync ~a round trip regardless of size —
+            grouping pays one of each per eval_pipeline_depth batches,
+            and the caller overlaps each group's host-side protocol
+            work with the NEXT group's device execution."""
             sweep = self.use_dev_sweep and not self._sweep_disabled
             sig = tuple(int(s) for s in self.args.iou_threshold_list)
             imgs = jnp.stack([jnp.asarray(it[0]) for it in items])
@@ -434,6 +436,10 @@ class CamEvaluator:
 
             packed_d, cams_d = fn(params, bstats, imgs, tgts, gts, gvs,
                                   raws, key)
+            return (packed_d, cams_d, items, sweep, sig)
+
+        def _process_group(handle):
+            packed_d, cams_d, items, sweep, sig = handle
             packed = np.asarray(packed_d)          # the ONE sync
             s_b = len(items)
             bsz = items[0][1].shape[0]
@@ -476,17 +482,37 @@ class CamEvaluator:
                     _process_host_np(dequantize_cams_np(cams_np[k]),
                                      logits[k], it[5], it[3], it[4])
 
-        # HBM-cached splits: one dispatched program + one sync
+        # group pipeline with one-group lookahead: group k's host-side
+        # protocol work (sync + native sweep + counters) runs while
+        # group k+1 executes on the device
+        depth = max(1, int(getattr(self.args, "eval_pipeline_depth", 8)))
+        inflight = None
+
+        def _submit(items):
+            nonlocal inflight
+            h = _dispatch_group(items)
+            if inflight is not None:
+                _process_group(inflight)
+            inflight = h
+
+        # HBM-cached splits stream straight from the resident batches
+        # in depth-sized groups.  (A/B'd: halving the group to force
+        # overlap between the host sweep and the next group's device
+        # work LOSES on this link — the extra dispatch+sync pair costs
+        # more than the ~1.5 s of device time the overlap hides, 42 vs
+        # 52 f/s on the 512-image corpus — so groups stay as large as
+        # the depth allows and the lookahead only pays off across
+        # >depth-batch splits.)
         single = (cached is not None and not is_cbox
                   and not self.on_device)
         if single:
-            _scan_eval_cached(cached)
+            for s in range(0, len(cached), depth):
+                _submit(cached[s:s + depth])
 
         # streaming path: group eval_pipeline_depth prepped batches and
         # evaluate each group as ONE scanned program + ONE packed sync
         # (same machinery as the cached path; batches stack into a
         # single fused host->device upload when not recording)
-        depth = max(1, int(getattr(self.args, "eval_pipeline_depth", 8)))
         group: list = []
         for item in (iter(()) if single else _batches()):
             images, targets, raw, gt_boxes, gt_valid, meta = item
@@ -520,10 +546,13 @@ class CamEvaluator:
                 continue
             group.append(item)
             if len(group) >= depth:
-                _scan_eval_cached(group)
+                _submit(group)
                 group = []
         if group:
-            _scan_eval_cached(group)
+            _submit(group)
+        if inflight is not None:
+            _process_group(inflight)
+            inflight = None
         if state["record"] and rec:
             _DEVICE_EVAL_CACHE[self.pipe] = rec
 
