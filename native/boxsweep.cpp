@@ -245,43 +245,138 @@ int sweep_best_iou(const float* cams, int n, int h, int w,
 #endif
   for (int i = 0; i < n; ++i) {
     const float* cam = cams + static_cast<size_t>(i) * h * w;
-    std::vector<uint8_t> q(static_cast<size_t>(h) * w);
+    const int npx = h * w;
+    std::vector<uint8_t> q(static_cast<size_t>(npx));
     uint8_t peak = 0;
-    for (size_t p = 0; p < q.size(); ++p) {
+    for (int p = 0; p < npx; ++p) {
       float v = cam[p] * 255.0f;
       if (v < 0.0f) v = 0.0f;
       if (v > 255.0f) v = 255.0f;
       q[p] = static_cast<uint8_t>(v);
       peak = std::max(peak, q[p]);
     }
-    LevelBoxes lb;
-    sweep_one(q.data(), h, w, lb);
     const float* g = gt + static_cast<size_t>(i) * max_gt * 4;
     int ng = gt_count[i];
-    // ~1000 taus collapse onto <= 256 quantized levels: compute the
-    // per-level best-IoU once, fill taus from the cache (fragmented
-    // maps have hundreds of boxes per level — without the dedupe the
-    // IoU loop ran ~4x per level)
-    double level_best[256];
-    int level_done[256];
-    std::memset(level_done, 0, sizeof(level_done));
+
+    // Fused form of sweep_one + box-vs-GT scoring: the per-level
+    // best-IoU is evaluated INLINE on the active union-find roots, so
+    // no per-level box lists are ever materialized (the LevelBoxes
+    // vectors and their flatten were ~a third of the per-image cost on
+    // fragmented maps).  Semantics identical to the explicit path
+    // (sweep_boxes_at keeps it for parity tests).
+    double lvl_best[256];
+    int lvl_nbox[256];
+    for (int t = 0; t < 256; ++t) { lvl_best[t] = 0.0; lvl_nbox[t] = 0; }
+
+    // bucket pixels by value
+    std::vector<int32_t> count(257, 0);
+    for (int p = 0; p < npx; ++p) count[q[p] + 1]++;
+    for (int v = 0; v < 256; ++v) count[v + 1] += count[v];
+    std::vector<int32_t> order(npx);
+    {
+      std::vector<int32_t> pos(count.begin(), count.end() - 1);
+      for (int p = 0; p < npx; ++p) order[pos[q[p]]++] = p;
+    }
+
+    // ---- fg max-tree (8-connected), IoU scored per level on roots
+    {
+      DSU fg;
+      fg.init(npx);
+      std::vector<int32_t> roots;
+      roots.reserve(1024);
+      for (int v = 255; v >= 1; --v) {
+        for (int k = count[v]; k < count[v + 1]; ++k) {
+          int p = order[k];
+          int y = p / w, x = p - y * w;
+          fg.make(p, x, y, false);
+          roots.push_back(p);
+          const int y0 = std::max(y - 1, 0), y1 = std::min(y + 1, h - 1);
+          const int x0 = std::max(x - 1, 0), x1 = std::min(x + 1, w - 1);
+          for (int ny = y0; ny <= y1; ++ny)
+            for (int nx = x0; nx <= x1; ++nx) {
+              int np = ny * w + nx;
+              if (np != p && fg.parent[np] != -1) fg.unite(p, np);
+            }
+        }
+        int t = v - 1;
+        int wr = 0;
+        double bi = 0.0;
+        for (int r : roots) {
+          if (fg.parent[r] != r) continue;
+          roots[wr++] = r;
+          float box[4] = {
+              static_cast<float>(fg.bx0[r]),
+              static_cast<float>(fg.by0[r]),
+              static_cast<float>(std::min(fg.bx1[r] + 1, w - 1)),
+              static_cast<float>(std::min(fg.by1[r] + 1, h - 1))};
+          for (int gi = 0; gi < ng; ++gi)
+            bi = std::max(bi, iou_plus1(box, g + gi * 4));
+        }
+        roots.resize(wr);
+        lvl_best[t] = bi;
+        lvl_nbox[t] = wr;
+      }
+    }
+
+    // ---- bg min-tree (4-connected): holes, scored per level
+    {
+      DSU bg;
+      bg.init(npx);
+      std::vector<int32_t> broots;
+      broots.reserve(1024);
+      for (int v = 0; v <= 255; ++v) {
+        for (int k = count[v]; k < count[v + 1]; ++k) {
+          int p = order[k];
+          int y = p / w, x = p - y * w;
+          bool on_border = (x == 0 || y == 0 || x == w - 1 || y == h - 1);
+          bg.make(p, x, y, on_border);
+          broots.push_back(p);
+          if (x > 0 && bg.parent[p - 1] != -1) bg.unite(p, p - 1);
+          if (x < w - 1 && bg.parent[p + 1] != -1) bg.unite(p, p + 1);
+          if (y > 0 && bg.parent[p - w] != -1) bg.unite(p, p - w);
+          if (y < h - 1 && bg.parent[p + w] != -1) bg.unite(p, p + w);
+        }
+        int t = v;
+        int wr = 0;
+        double bi = lvl_best[t];
+        int nb = 0;
+        for (int r : broots) {
+          if (bg.parent[r] != r) continue;
+          broots[wr++] = r;
+          if (bg.border[r]) continue;       // touches border: not a hole
+          float box[4] = {
+              static_cast<float>(bg.bx0[r] - 1),
+              static_cast<float>(bg.by0[r] - 1),
+              static_cast<float>(std::min(bg.bx1[r] + 2, w - 1)),
+              static_cast<float>(std::min(bg.by1[r] + 2, h - 1))};
+          for (int gi = 0; gi < ng; ++gi)
+            bi = std::max(bi, iou_plus1(box, g + gi * 4));
+          nb++;
+        }
+        broots.resize(wr);
+        lvl_best[t] = bi;
+        lvl_nbox[t] += nb;
+      }
+    }
+
+    // empty level -> the protocol's single [0, 0, 0, 0] box
+    for (int t = 0; t < 256; ++t) {
+      if (lvl_nbox[t] == 0) {
+        float zbox[4] = {0.0f, 0.0f, 0.0f, 0.0f};
+        double bi = 0.0;
+        for (int gi = 0; gi < ng; ++gi)
+          bi = std::max(bi, iou_plus1(zbox, g + gi * 4));
+        lvl_best[t] = bi;
+        lvl_nbox[t] = 1;
+      }
+    }
+
     for (int k = 0; k < n_tau; ++k) {
       int t = static_cast<int>(taus[k] * peak);   // int() truncation
       if (t > 255) t = 255;
       if (t < 0) t = 0;
-      int b0 = lb.level_ptr[t], b1 = lb.level_ptr[t + 1];
-      if (!level_done[t]) {
-        double bi = 0.0;
-        for (int b = b0; b < b1; ++b) {
-          const float* box = lb.flat.data() + static_cast<size_t>(b) * 4;
-          for (int gidx = 0; gidx < ng; ++gidx)
-            bi = std::max(bi, iou_plus1(box, g + gidx * 4));
-        }
-        level_best[t] = bi;
-        level_done[t] = 1;
-      }
-      best[static_cast<size_t>(i) * n_tau + k] = level_best[t];
-      nboxes[static_cast<size_t>(i) * n_tau + k] = b1 - b0;
+      best[static_cast<size_t>(i) * n_tau + k] = lvl_best[t];
+      nboxes[static_cast<size_t>(i) * n_tau + k] = lvl_nbox[t];
     }
   }
   return 0;
